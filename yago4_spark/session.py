@@ -28,6 +28,16 @@ def get_spark(
     On a real cluster you pass ``--master`` to spark-submit and this
     function leaves it alone.
     """
+    # Make the package importable inside Python workers (local mode
+    # inherits the driver env; on a cluster spark-submit --py-files plays
+    # this role). Must happen before the JVM/worker pool starts.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:
         master = f"local[{cpus}]"
