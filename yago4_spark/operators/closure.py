@@ -1,0 +1,128 @@
+"""Graph fixpoint operators — the reference's distinctive algorithms
+re-expressed as iterative DataFrame self-joins (the north rule names this
+shape explicitly for the P31/P279 subclass closure).
+
+Reference: ``transitive_closure`` / ``transitive_closure_pair``
+(src/plan.rs:2252-2299) are visited-set BFS over in-RAM multimaps;
+``filter_redundant_sub_class_of`` (src/plan.rs:617-638) is a one-step
+transitive reduction.
+
+Scale notes (100 TB discipline):
+- each iteration joins only the *frontier* (new nodes) against the edge
+  table, not the whole visited set — work is proportional to newly
+  reached nodes, like BFS;
+- the edge table is cached once and reused every iteration;
+- ``localCheckpoint`` every iteration truncates the lineage chain, which
+  otherwise grows linearly and blows up the driver at depth;
+- Wikidata P279 has cycles — the ``subtract`` against the visited set is
+  what guarantees termination (visited-set BFS does the same);
+- ``max_iterations`` is a safety cap; hitting it raises, because a
+  silently truncated closure corrupts the taxonomy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+MAX_ITERATIONS_DEFAULT = 50
+
+
+class ClosureDidNotConverge(RuntimeError):
+    pass
+
+
+def transitive_closure(
+    seeds: DataFrame,
+    edges: DataFrame,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    on_iteration=None,
+) -> DataFrame:
+    """All nodes reachable from ``seeds`` (1 col: ``node``) following
+    ``edges`` (2 cols: ``src``, ``dst``), seeds included.
+
+    Mirrors src/plan.rs:2252-2268 (which walks key→values of the edge
+    multimap: seed node → its edge targets, transitively).
+    """
+    seeds = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    edges = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    visited = seeds.localCheckpoint(eager=True)
+    frontier = visited
+    for i in range(max_iterations):
+        next_nodes = (
+            frontier.join(edges, frontier["node"] == edges["src"], "inner")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = next_nodes.subtract(visited).localCheckpoint(eager=True)
+        n_new = frontier.count()
+        if on_iteration is not None:
+            on_iteration(i, n_new)
+        if n_new == 0:
+            edges.unpersist()
+            return visited
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    edges.unpersist()
+    raise ClosureDidNotConverge(f"no fixpoint after {max_iterations} iterations")
+
+
+def transitive_closure_pair(
+    pairs: DataFrame,
+    edges: DataFrame,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+) -> DataFrame:
+    """Keyed closure: for each (key, value) pair, emit (key, a) for every
+    ancestor ``a`` of ``value`` (value included) via ``edges``.
+
+    Mirrors src/plan.rs:2272-2299 — used to map each Wikidata class to
+    every schema.org ancestor class.
+    """
+    pairs = pairs.select(
+        F.col(pairs.columns[0]).alias("key"), F.col(pairs.columns[1]).alias("node")
+    ).distinct()
+    edges = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    visited = pairs.localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(max_iterations):
+        next_pairs = (
+            frontier.join(edges, frontier["node"] == edges["src"], "inner")
+            .select("key", F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = next_pairs.subtract(visited).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            edges.unpersist()
+            return visited
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    edges.unpersist()
+    raise ClosureDidNotConverge(f"no fixpoint after {max_iterations} iterations")
+
+
+def transitive_reduction_step(edges: DataFrame) -> DataFrame:
+    """Drop edge (a, c) when some parent b of a is itself a child of c —
+    i.e. remove edges implied by a 2-hop path (one reduction step, exactly
+    the reference's scope: src/plan.rs:617-638; it does NOT compute full
+    transitive reduction).
+
+    Expressed as edges ⨝ edges → anti-join: redundant(a,c) = ∃b. (a,b) ∧
+    (b,c), then edges ∖ redundant.
+    """
+    e = edges.select(
+        F.col(edges.columns[0]).alias("child"), F.col(edges.columns[1]).alias("parent")
+    )
+    ab = e.alias("ab")
+    bc = e.alias("bc")
+    redundant = (
+        ab.join(bc, F.col("ab.parent") == F.col("bc.child"), "inner")
+        .select(F.col("ab.child").alias("child"), F.col("bc.parent").alias("parent"))
+        .where(F.col("child") != F.col("parent"))
+        .distinct()
+    )
+    return e.join(redundant, ["child", "parent"], "left_anti")
