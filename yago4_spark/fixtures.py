@@ -52,6 +52,8 @@ P = "http://www.wikidata.org/prop/P"
 PS = "http://www.wikidata.org/prop/statement/P"
 PSV = "http://www.wikidata.org/prop/statement/value/P"
 PQ = "http://www.wikidata.org/prop/qualifier/P"
+PQV = "http://www.wikidata.org/prop/qualifier/value/P"
+WDV = "http://www.wikidata.org/value/"
 
 RDF_TYPE = iri(vocab.RDF_TYPE)
 ENWIKI = "https://en.wikipedia.org/wiki/"
@@ -102,6 +104,15 @@ def mini_wikidata_triples() -> list[tuple[dict, dict, dict]]:
     # ---- instances ----
     # humans: named individuals exercising each URI priority
     p31(42, 5);   sitelink("Douglas_Adams", 42); label(42, "Douglas Adams")
+    # description / altLabel feed the labels output and class comments
+    add(item(42), iri(vocab.SCHEMA_DESCRIPTION),
+        lang_string("English writer and humorist", "en"))
+    add(item(42), iri(vocab.SKOS + "altLabel"), lang_string("DNA", "en"))
+    add(item(1000), iri(vocab.SCHEMA_DESCRIPTION),
+        lang_string("person studying nature", "en"))
+    # P646 freebase ids: one valid, one invalid (plan.rs:1729-1752)
+    add(item(42), prop(646), string("/m/0282x"))
+    add(item(64), prop(646), string("/m/badid!"))
     p31(2002, 5); label(2002, "Dürst")                      # label URI
     p31(2003, 5); label(2003, "Personne", "fr")             # fallback _Q
     p31(2004, 5); sitelink("Paris%20Hilton/Bio", 2004)      # decode+encode
@@ -148,14 +159,6 @@ def mini_wikidata_triples() -> list[tuple[dict, dict, dict]]:
     for q in (3400, 3401, 3402):
         p31(q, 1500); label(q, f"Orphan {q}")
 
-    # rdf:type wikibase:Item for every item that appears as a subject
-    qids = sorted(
-        {s["num"] for s, _, _ in t if s["kind"] == "item"}
-        | {o["num"] for _, _, o in t if o["kind"] == "item"}
-    )
-    for q in qids:
-        add(item(q), RDF_TYPE, iri(vocab.WIKIBASE_ITEM))
-
     # ---- statement chains for the facts pipeline ----
     def stmt(subject: int, pid: int, node: str, best: bool = True):
         add(item(subject), prop(pid, P), blank(node))
@@ -201,9 +204,10 @@ def mini_wikidata_triples() -> list[tuple[dict, dict, dict]]:
     # spouse (object property, range Person): Q42 → Q2002 (both Persons)
     stmt(42, 26, "s42spouse")
     add(blank("s42spouse"), prop(26, PS), item(2002))
-    # qualifiers on the spouse statement (pq:P580 start, pq:P582 end)
+    # start-date qualifier on the spouse statement (annotation shapes with
+    # date datatypes read pqv:P580 value nodes, plan.rs:1034-1064)
     sq = "s42spouse"
-    add(blank(sq), prop(580, PQ), blank("v42sp_start"))
+    add(blank(sq), prop(580, PQV), blank("v42sp_start"))
     add(blank("v42sp_start"), iri(vocab.WIKIBASE_TIME_VALUE),
         date_time("1991-11-25T00:00:00+00:00"))
     add(blank("v42sp_start"), iri(vocab.WIKIBASE_TIME_PRECISION), integer(11))
@@ -221,7 +225,7 @@ def mini_wikidata_triples() -> list[tuple[dict, dict, dict]]:
     add(blank("s64geo"), prop(625, PSV), blank("v64geo"))
     add(blank("v64geo"), iri(vocab.WIKIBASE_GEO_LATITUDE), double_term(52.52437))
     add(blank("v64geo"), iri(vocab.WIKIBASE_GEO_LONGITUDE), double_term(13.41053))
-    add(blank("v64geo"), iri(vocab.WIKIBASE_GEO_PRECISION), double_term(0.000277778))
+    add(blank("v64geo"), iri(vocab.WIKIBASE_GEO_PRECISION), double_term(0.01))
     add(blank("v64geo"), iri(vocab.WIKIBASE_GEO_GLOBE), item(vocab.Q_EARTH))
     stmt(2042, 625, "s2042geo")
     add(blank("s2042geo"), prop(625, PSV), blank("v2042geo"))
@@ -233,15 +237,16 @@ def mini_wikidata_triples() -> list[tuple[dict, dict, dict]]:
     # duration quantity (P2047, unit second) on a creative work
     def quantity(node: str, value_node: str, pid: int, amount: str, unit: int,
                  lower: str | None = None, upper: str | None = None):
-        add(blank(node), prop(pid, PSV), blank(value_node))
-        add(blank(value_node), iri(vocab.WIKIBASE_QUANTITY_AMOUNT), decimal(amount))
-        add(blank(value_node), iri(vocab.WIKIBASE_QUANTITY_UNIT), item(unit))
+        # quantity value nodes are wdv: IRIs in the real dump, and the
+        # QuantitativeValue conversion requires an IRI (plan.rs:1651-1654)
+        vn = iri(WDV + value_node)
+        add(blank(node), prop(pid, PSV), vn)
+        add(vn, iri(vocab.WIKIBASE_QUANTITY_AMOUNT), decimal(amount))
+        add(vn, iri(vocab.WIKIBASE_QUANTITY_UNIT), item(unit))
         if lower is not None:
-            add(blank(value_node), iri(vocab.WIKIBASE_QUANTITY_LOWER_BOUND),
-                decimal(lower))
+            add(vn, iri(vocab.WIKIBASE_QUANTITY_LOWER_BOUND), decimal(lower))
         if upper is not None:
-            add(blank(value_node), iri(vocab.WIKIBASE_QUANTITY_UPPER_BOUND),
-                decimal(upper))
+            add(vn, iri(vocab.WIKIBASE_QUANTITY_UPPER_BOUND), decimal(upper))
 
     stmt(2050, 2047, "s2050dur")
     quantity("s2050dur", "v2050dur", 2047, "+42", vocab.Q_SECOND)
@@ -279,6 +284,16 @@ def mini_wikidata_triples() -> list[tuple[dict, dict, dict]]:
     # family name (plain string, P734)
     stmt(42, 734, "s42fam")
     add(blank("s42fam"), prop(734, PS), string("Adams"))
+
+    # rdf:type wikibase:Item for every item mentioned anywhere (must run
+    # LAST so quantity-unit items etc. enter the item universe and get
+    # fallback URIs)
+    qids = sorted(
+        {s["num"] for s, _, _ in t if s["kind"] == "item"}
+        | {o["num"] for _, _, o in t if o["kind"] == "item"}
+    )
+    for q in qids:
+        add(item(q), RDF_TYPE, iri(vocab.WIKIBASE_ITEM))
 
     return t
 

@@ -42,6 +42,11 @@ class PropertyShape:
     max_count: int | None = None            # sh:maxCount
     is_unique_lang: bool = False            # sh:uniqueLang
     pattern: str | None = None              # sh:pattern
+    # direct-predicate sources (the label family maps from full predicates
+    # like skos:prefLabel on the entity itself, not statement nodes —
+    # consumed by build_simple_properties, src/plan.rs:818-892). Values
+    # are predicate_key strings.
+    from_predicates: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -112,6 +117,7 @@ def sample_schema(min_instances: int = 2) -> Schema:
             NodeShape(S + "CreativeWork", (Q_CREATIVE_WORK,), "CreativeWork"),
             NodeShape(S + "Organization", (Q_ORG,), "Organization"),
             NodeShape(S + "GeoCoordinates", (), "GeoCoordinates"),
+            NodeShape(S + "ImageObject", (), "ImageObject"),
             NodeShape(S + "QuantitativeValue", (), "QuantitativeValue"),
         ],
         property_shapes=[
@@ -172,6 +178,23 @@ def sample_schema(min_instances: int = 2) -> Schema:
             PropertyShape(
                 S + "familyName", S + "Person", (734,),
                 datatypes=(vocab.XSD_STRING,),
+            ),
+            # label family: direct predicates, langString, uniqueLang
+            # (consumed by the labels output, not the facts pipeline)
+            PropertyShape(
+                vocab.RDFS_LABEL, S + "Thing", (),
+                datatypes=(vocab.RDF_LANG_STRING,), is_unique_lang=True,
+                from_predicates=("skos:prefLabel",),
+            ),
+            PropertyShape(
+                vocab.RDFS_COMMENT, S + "Thing", (),
+                datatypes=(vocab.RDF_LANG_STRING,), is_unique_lang=True,
+                from_predicates=("schema:description",),
+            ),
+            PropertyShape(
+                S + "alternateName", S + "Thing", (),
+                datatypes=(vocab.RDF_LANG_STRING,),
+                from_predicates=("skos:altLabel",),
             ),
         ],
         annotation_shapes=[

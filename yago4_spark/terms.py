@@ -146,6 +146,7 @@ _IRI_SHORT = {
     vocab.RDF_TYPE: "rdf:type",
     vocab.SCHEMA_ABOUT: "schema:about",
     vocab.SKOS_PREF_LABEL: "skos:prefLabel",
+    vocab.SKOS + "altLabel": "skos:altLabel",
     vocab.RDFS_LABEL: "rdfs:label",
     vocab.RDFS_COMMENT: "rdfs:comment",
     vocab.RDFS_SUBCLASS_OF: "rdfs:subClassOf",

@@ -50,6 +50,7 @@ PFX_SHORT = {
     "http://www.wikidata.org/prop/statement/P": "ps:P",
     "http://www.wikidata.org/prop/statement/value/P": "psv:P",
     "http://www.wikidata.org/prop/qualifier/P": "pq:P",
+    "http://www.wikidata.org/prop/qualifier/value/P": "pqv:P",
     "http://www.wikidata.org/entity/P": "wd:P",
 }
 
