@@ -1,0 +1,152 @@
+"""Tests for the training-data operators: text analysis, dedup family,
+similarity search, media plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yago4_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from yago4_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from yago4_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
+
+DOCS = [
+    ("a", "the quick brown fox jumps over the lazy dog near the river bank"),
+    ("b", "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of a
+    ("c", "the quick brown fox jumps over the lazy dog near the river bend"),  # near dup
+    ("d", "der hund ist nicht zu haus und die katze auch nicht"),
+    ("e", "completely different content about spark query engines and data"),
+    ("f", "THE  Quick   Brown fox jumps over the lazy dog near the river bank"),  # fp-equal after normalize? (case+ws)
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string").persist()
+
+
+def test_text_functions(spark, docs):
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n"),
+            lang_id(F.col("text")).alias("lang"),
+            quality_score(F.col("text")).alias("q"),
+            fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert rows["a"]["n"] == 13
+    assert rows["a"]["lang"] == "en"
+    assert rows["d"]["lang"] == "de"
+    assert 0 <= rows["a"]["q"] <= 1
+    assert rows["a"]["fp"] == rows["b"]["fp"] == rows["f"]["fp"]
+    assert rows["a"]["fp"] != rows["c"]["fp"]
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == ["a", "b", "f"]
+    assert groups[0]["dup_count"] == 3
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[("a", "b")] == 1.0
+    assert ("a", "c") in pairs and pairs[("a", "c")] < 1.0
+    assert not any("e" in p for p in pairs)
+
+
+def test_minhash_lsh(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert sigs["a"] == sigs["b"]  # identical docs → identical signatures
+    assert len(sigs["a"]) == 16
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert ("a", "b") in pairs
+    assert ("a", "f") in pairs          # normalization-equal
+    assert ("a", "e") not in pairs      # unrelated docs share no band
+    assert ("a", "c") in pairs          # near dup shares >=1 of 4 bands
+
+
+def test_simhash(docs):
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert h["a"] == h["b"]
+    # near dup within small hamming distance
+    assert bin(h["a"] ^ h["c"]).count("1") <= 6
+    assert 0 <= h["a"] < 2 ** 16
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import math
+    rows = []
+    for i in range(50):
+        angle = (i % 10) * 0.12
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.1 * (i % 3), 0.5]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).persist()
+
+
+def test_cosine_topk(embeddings):
+    q = [1.0, 0.0, 0.0, 0.5]
+    got = cosine_topk(embeddings, q, k=5).collect()
+    assert len(got) == 5
+    sims = [r["sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+    # the best matches are angle-0 vectors (ids ≡ 0 mod 10, low z): id 0 first
+    assert got[0]["vec_id"] == 0
+
+
+def test_ivf_topk_recall(embeddings):
+    q = [1.0, 0.0, 0.0, 0.5]
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, q, k=5).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(embeddings, q, k=5,
+                                            n_cells=5, n_probe=3).collect()]
+    # recall@5 >= 0.6 for the approximate path on this easy fixture
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_embedding_near_dup(embeddings):
+    pairs = embedding_near_dup_pairs(embeddings, threshold=0.999, n_cells=5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # ids with equal angle and equal i%3 are identical vectors: e.g. 0 & 30
+    assert (0, 30) in got
+
+
+def test_media_plumbing(spark):
+    from yago4_spark.functions.media import decode_media_features
+    from yago4_spark.sources.documents import documents_df, exploded_media_spans
+
+    docs = documents_df(spark, n_docs=50)
+    media = exploded_media_spans(docs)
+    feats = decode_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.count() > 0
+    r = rows[0]
+    assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+    assert len(r["features"]) == 8
+    # deterministic: same ref → same features on recompute
+    again = {x["media_ref"]: x["features"] for x in feats.collect()}
+    assert again[r["media_ref"]] == r["features"]

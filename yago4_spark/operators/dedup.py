@@ -1,0 +1,179 @@
+"""Deduplication family for training-data pipelines — exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Design rules for 100 TB:
+- Never all-pairs: every near-dup variant goes through a BLOCKING key
+  (shared shingle, LSH band bucket, simhash band) so candidate
+  generation is a shuffle-join on the blocking key, not O(n²).
+- All hashing is md5-based so the DuckDB oracle computes bit-identical
+  results (Spark's xxhash64/hash are not portable).
+- Pairs are canonicalized (id_a < id_b) to keep results order-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: returns
+    (fp, dup_count, doc_ids array sorted) for groups with >1 member."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3
+             ) -> DataFrame:
+    """(doc_id, shingle) word n-gram shingles, distinct, lowercased."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, size(_toks) - {n} + 1), "
+        f"i -> array_join(slice(_toks, i, {n}), ' '))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard >= threshold.
+
+    Blocking: pairs share >=1 shingle (self-join on shingle), then
+    |A∩B| is counted and Jaccard computed from per-doc shingle counts —
+    one shuffle on shingle + one on the pair key.
+    """
+    sh = shingles(docs, id_col, text_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnRenamed("doc_id", "id_a")
+    b = sh.withColumnRenamed("doc_id", "id_b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a")
+                    .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") /
+                    (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = 16) -> DataFrame:
+    """(doc_id, sig array<string>): minhash_i = min(md5(i || ':' ||
+    shingle)) — portable (md5), deterministic, one aggregation."""
+    sh = shingles(docs, id_col, text_col, n)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {num_hashes - 1}), "
+                "i -> struct(i as h, md5(concat(cast(i as string), ':', shingle)) as v))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.h").alias("h"), F.col("g.v").alias("v"))
+    return (
+        seeded.groupBy("doc_id", "h")
+        .agg(F.min("v").alias("mh"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("h", "mh"))).alias("_s"))
+        .select("doc_id", F.expr("transform(_s, x -> x.mh)").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH: signatures split
+    into ``bands`` bands of num_hashes/bands rows; docs sharing any band
+    bucket become a candidate pair. Shuffle key = (band, bucket-hash) —
+    the 100 TB-safe shape (no all-pairs)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b as band, md5(array_join(slice(sig, b * {rows} + 1, {rows}), '|')) as bucket))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.band").alias("band"), F.col("g.bucket").alias("bucket"))
+    a = buckets.withColumnRenamed("doc_id", "id_a")
+    b = buckets.withColumnRenamed("doc_id", "id_b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """(doc_id, simhash long): classic simhash over unigram tokens with
+    md5-derived bit vectors — each bit b weighted +1/-1 by token presence
+    count; bit set when the sum is positive."""
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+                    .alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    # bit b of md5: low bit of hex nibble b — tested via digit membership
+    # ('1','3',...,'f'), which is portable SQL (no conv/bit ops needed for
+    # the DuckDB oracle twin)
+    bit_contrib = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bits - 1}), "
+                "b -> struct(b as bit, "
+                "case when substring(h, b + 1, 1) in "
+                "('1','3','5','7','9','b','d','f') "
+                "then w else -w end as c))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.bit").alias("bit"), F.col("g.c").alias("c"))
+    return (
+        bit_contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0,
+                       F.pow(F.lit(2.0), F.col("bit")).cast("long"))
+                .otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products run JVM-side via ``F.zip_with`` + ``F.aggregate`` (no
+  Python); one pass over the table per query batch.
+- ``ivf_topk``: the scale path — a one-level IVF index: k-means-lite
+  centroids picked deterministically (first ``n_cells`` vectors by id,
+  one assignment pass), queries probe only ``n_probe`` nearest cells.
+  At 100 TB the cell assignment is the partition key, so a query touches
+  n_probe/n_cells of the data.
+- Embedding-cosine near-dup: pairs within a cell with cosine >=
+  threshold (blocking by cell, never all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_to: int | None = 6) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector; deterministic
+    order (sim DESC, id ASC). Rounding keeps float32/float64 engines
+    comparable."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def assign_cells(embeddings: DataFrame, centroids: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """(vec_id, cell, embedding): nearest centroid by cosine — the IVF
+    assignment pass. Centroids are broadcast (config-sized)."""
+    c = F.broadcast(
+        centroids.select(F.col("cell"), F.col("cvec"))
+    )
+    joined = embeddings.crossJoin(c).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        "cell",
+        cosine(F.col(vec_col).cast("array<double>"),
+               F.col("cvec").cast("array<double>")).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(),
+                                             F.col("cell").asc())
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "cell", "embedding")
+    )
+
+
+def deterministic_centroids(embeddings: DataFrame, n_cells: int = 8,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Centroids = the n_cells lowest-id vectors (deterministic seed
+    choice; a real deployment would run k-means — the probing plan is
+    identical)."""
+    return (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy(F.col(id_col).asc())) - 1)
+            .alias("cell"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+             n_cells: int = 8, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: probe the n_probe cells whose centroids are
+    nearest the query, brute-force inside them."""
+    cents = deterministic_centroids(embeddings, n_cells, id_col, vec_col)
+    cents = cents.persist()
+    assigned = assign_cells(embeddings, cents, id_col, vec_col)
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    probe_cells = [
+        r["cell"]
+        for r in cents.select(
+            "cell",
+            cosine(F.col("cvec").cast("array<double>"), q).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("cell").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    sim = F.round(cosine(F.col("embedding").cast("array<double>"), q), 6)
+    return (
+        assigned.where(F.col("cell").isin(probe_cells))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                             n_cells: int = 8, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate vector pairs: block by IVF cell, all-pairs only
+    within a cell, cosine >= threshold. Returns (id_a, id_b, sim)."""
+    cents = deterministic_centroids(embeddings, n_cells, id_col, vec_col)
+    assigned = assign_cells(embeddings, cents, id_col, vec_col).persist()
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va").cast("array<double>"),
+                           F.col("vb").cast("array<double>")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

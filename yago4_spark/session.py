@@ -54,9 +54,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # The 4096-row default spill thresholds make WindowExec/SMJ spill
+        # tiny buffers to disk constantly; at >8 concurrent tasks the
+        # spill I/O contends and windows ANTI-scale (measured 6.5s@8c →
+        # 14.9s@32c on a 30M-row row_number; 4.6s@32c with this raised).
+        .config("spark.sql.windowExec.buffer.in.memory.threshold", "4194304")
+        .config("spark.sql.windowExec.buffer.spill.threshold", "4194304")
+        .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "4194304")
+        .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "4194304")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
