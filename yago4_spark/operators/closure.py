@@ -59,10 +59,11 @@ def transitive_closure(
             .distinct()
         )
         frontier = next_nodes.subtract(visited).localCheckpoint(eager=True)
-        n_new = frontier.count()
         if on_iteration is not None:
-            on_iteration(i, n_new)
-        if n_new == 0:
+            on_iteration(i, frontier.count())
+        # isEmpty() on the checkpointed frontier stops at the first
+        # non-empty partition — cheaper than a full count per iteration
+        if frontier.isEmpty():
             edges.unpersist()
             return visited
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
