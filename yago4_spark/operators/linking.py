@@ -12,7 +12,8 @@ Design (Spark-first, no per-row Python):
    This scales as (tokens × max_ngram) rows — linear in corpus size,
    embarrassingly parallel, no Python in the loop.
 2. **Scoring + disambiguation**: deterministic argmax per mention
-   occurrence by (score DESC, qid ASC) — a window, not a groupBy+join.
+   occurrence by (score DESC, qid ASC) — one hash aggregation (max_by),
+   never a sort window (windows anti-scale, see session.py notes).
 3. **Skew**: the hub surface ("human"-like, >=20% of mentions) makes the
    per-qid aggregation skewed, NOT the join (the dictionary side is
    broadcast, so there is no shuffle-join skew by construction — this is
@@ -108,7 +109,6 @@ def link_entities(candidates: DataFrame) -> DataFrame:
     # (doc_id, span_idx) serves both aggs (superset grouping keys) and
     # the containment self-join below.
     candidates = candidates.repartition("doc_id", "span_idx")
-    payload = F.struct("surface", "qid", "score")
     # step 1+2 fused: per (doc, span, start) pick by (len DESC, score
     # DESC, qid ASC). Step 1's per-(start,len) argmax by (score, qid) is
     # subsumed: the combined ordering struct resolves (len) first, then
@@ -131,28 +131,24 @@ def link_entities(candidates: DataFrame) -> DataFrame:
         )
     )
     # containment pruning: a mention starting inside a longer mention to
-    # its left is dropped (self-join within the span). MERGE hint: both
-    # sides carry the (doc_id, span_idx) partitioning already, so
-    # sort-merge runs exchange-free — without the hint AQE may broadcast
-    # the (large) build side, a single-threaded driver hash build that
-    # serializes the whole stage.
-    left = longest.select(
-        "doc_id", "span_idx",
+    # its left is dropped. ONE left-anti self-join: equi keys
+    # (doc_id, span_idx) — which both sides are already partitioned on,
+    # so no new exchange — with the containment range as an extra join
+    # condition. The MERGE hint stops AQE from broadcasting the (large)
+    # build side, which would be a single-threaded driver hash build.
+    marks = longest.select(
+        F.col("doc_id").alias("m_doc"),
+        F.col("span_idx").alias("m_span"),
         F.col("token_start").alias("l_start"),
         F.col("ngram_len").alias("l_len"),
     )
-    contained = (
-        longest.hint("merge").join(left, ["doc_id", "span_idx"], "inner")
-        .where(
-            (F.col("l_start") < F.col("token_start"))
-            & (F.col("token_start") < F.col("l_start") + F.col("l_len"))
-        )
-        .select("doc_id", "span_idx", "token_start", "ngram_len")
-        .distinct()
+    cond = (
+        (F.col("doc_id") == F.col("m_doc"))
+        & (F.col("span_idx") == F.col("m_span"))
+        & (F.col("l_start") < F.col("token_start"))
+        & (F.col("token_start") < F.col("l_start") + F.col("l_len"))
     )
-    return longest.join(
-        contained, ["doc_id", "span_idx", "token_start", "ngram_len"], "left_anti"
-    )
+    return longest.hint("merge").join(marks, cond, "left_anti")
 
 
 def extract_and_link(docs: DataFrame, dictionary: DataFrame,
