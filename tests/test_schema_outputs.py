@@ -1,0 +1,73 @@
+"""Tests for the OWL schema / SHACL shapes triple emission, incl. RDF
+list cons-cells with deterministic blank labels (reference:
+src/plan.rs:1783-2202, 1965-2029)."""
+
+from __future__ import annotations
+
+from yago4_spark import terms, vocab
+from yago4_spark.plans.outputs import (
+    build_yago_schema_triples,
+    build_yago_shapes_triples,
+)
+from yago4_spark.plans.shapes import sample_schema
+
+S = vocab.SCHEMA
+
+
+def triples(df):
+    return {
+        tuple(
+            terms.term_to_nt_py(r[c].asDict())
+            for c in ("subject", "predicate", "object")
+        )
+        for r in df.collect()
+    }
+
+
+def test_schema_output(spark):
+    got = triples(build_yago_schema_triples(spark, sample_schema()))
+    assert (f"<{S}Person>", f"<{vocab.RDF_TYPE}>",
+            "<http://www.w3.org/2002/07/owl#Class>") in got
+    # camel-case label split
+    assert (f"<{S}CreativeWork>", f"<{vocab.RDFS_LABEL}>",
+            '"creative work"@en') in got
+    assert (f"<{S}birthDate>", f"<{vocab.RDFS_LABEL}>", '"birth date"@en') in got
+    # object vs datatype property typing
+    assert (f"<{S}spouse>", f"<{vocab.RDF_TYPE}>",
+            "<http://www.w3.org/2002/07/owl#ObjectProperty>") in got
+    assert (f"<{S}issn>", f"<{vocab.RDF_TYPE}>",
+            "<http://www.w3.org/2002/07/owl#DatatypeProperty>") in got
+    # single range plain, multi range via owl:unionOf list
+    assert (f"<{S}issn>", f"<{vocab.RDFS}range>",
+            "<http://www.w3.org/2001/XMLSchema#string>") in got
+    union_edges = [g for g in got
+                   if g[0] == f"<{S}birthDate>" and "range" in g[1]]
+    assert len(union_edges) == 1 and union_edges[0][2].startswith("_:")
+    # the union's RDF list is complete and nil-terminated
+    firsts = [g for g in got if g[1] == f"<{vocab.RDF_FIRST}>"
+              and "birthDate" in g[0]]
+    assert len(firsts) == 4  # 4 date datatypes
+    assert any(g[2] == f"<{vocab.RDF_NIL}>" for g in got
+               if g[1] == f"<{vocab.RDF_REST}>")
+
+
+def test_shapes_output(spark):
+    got = triples(build_yago_shapes_triples(spark, sample_schema()))
+    assert (f"<{S}PersonShape>", f"<{vocab.SH}targetClass>", f"<{S}Person>") in got
+    assert (f"<{S}birthDateShape>", f"<{vocab.SH}maxCount>",
+            '"1"^^<http://www.w3.org/2001/XMLSchema#integer>') in got
+    assert (f"<{S}issnShape>", f"<{vocab.SH}pattern>",
+            '"^[0-9]{4}-[0-9]{3}[0-9X]$"') in got
+    # sh:or list members carry sh:datatype
+    or_heads = [g for g in got
+                if g[0] == f"<{S}birthDateShape>" and g[1] == f"<{vocab.SH}or>"]
+    assert len(or_heads) == 1 and or_heads[0][2].startswith("_:")
+    member_dts = {g[2] for g in got
+                  if g[1] == f"<{vocab.SH}datatype>" and g[0].startswith("_:or-birthDate")}
+    assert member_dts == {
+        f"<{vocab.XSD_DATE_TIME}>", f"<{vocab.XSD_DATE}>",
+        f"<{vocab.XSD_G_YEAR_MONTH}>", f"<{vocab.XSD_G_YEAR}>",
+    }
+    # deterministic: two builds emit identical triples
+    again = triples(build_yago_shapes_triples(spark, sample_schema()))
+    assert got == again

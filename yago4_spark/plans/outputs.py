@@ -224,20 +224,75 @@ def build_same_as(
     return wikidata.unionByName(dbpedia).unionByName(freebase).unionByName(wikipedia)
 
 
-def build_yago_schema_triples(spark: SparkSession, schema: Schema) -> DataFrame:
-    """Reduced OWL TBox emission from the driver-side shape config
-    (reference: src/plan.rs:1783-1962 emits the full schema.org ontology
-    with Intangible/Enumeration remaps; we emit the classes, hierarchy
-    and disjointness our config carries — driver-sized data)."""
-    rows = []
+def _rows_to_triples(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    """(s_kind, s, p, o_kind, o_text, o_lang) rows → term-struct triples.
+    s_kind/o_kind ∈ {iri, blank, langString, string, integer}."""
+    df = spark.createDataFrame(
+        rows,
+        "s_kind string, s string, p string, o_kind string, o_text string, "
+        "o_lang string",
+    )
+    subj = F.when(F.col("s_kind") == "blank",
+                  term_struct(F.lit("blank"), text=F.col("s"))
+                  ).otherwise(iri_term(F.col("s")))
+    obj = (
+        F.when(F.col("o_kind") == "iri", iri_term(F.col("o_text")))
+        .when(F.col("o_kind") == "blank",
+              term_struct(F.lit("blank"), text=F.col("o_text")))
+        .when(F.col("o_kind") == "langString",
+              term_struct(F.lit("langString"), text=F.col("o_text"),
+                          lang=F.col("o_lang")))
+        .when(F.col("o_kind") == "integer",
+              term_struct(F.lit("integer"),
+                          num=F.col("o_text").cast("long")))
+        .otherwise(term_struct(F.lit("string"), text=F.col("o_text")))
+    )
+    return df.select(
+        subj.alias("subject"),
+        iri_term(F.col("p")).alias("predicate"),
+        obj.alias("object"),
+    )
 
-    def t(s, p, o_kind, o_text=None, o_lang=None):
-        rows.append((s, p, o_kind, o_text, o_lang))
+
+def _emit_rdf_list(rows: list, owner: str, items: list[tuple[str, str]],
+                   ) -> str:
+    """Append RDF list cons-cells with deterministic blank labels
+    (add_list_object, src/plan.rs:1965-2029); items are (kind, value).
+    Returns the head node label (blank) or rdf:nil."""
+    from ..functions.names import list_blank_labels
+
+    labels = list_blank_labels(owner, [v for _, v in items])
+    head = vocab.RDF_NIL
+    head_kind = "iri"
+    for i in range(len(items) - 1, -1, -1):
+        cell = labels[i]
+        kind, value = items[i]
+        rows.append(("blank", cell, vocab.RDF_FIRST, kind, value, None))
+        rows.append(("blank", cell, vocab.RDF_REST, head_kind, head, None))
+        head, head_kind = cell, "blank"
+    return head
+
+
+def build_yago_schema_triples(spark: SparkSession, schema: Schema) -> DataFrame:
+    """OWL TBox emission from the driver-side shape config (reference:
+    src/plan.rs:1783-1962): classes with camel-case-split labels,
+    hierarchy, disjointness, property typing, rdfs:domain, and
+    rdfs:range as owl:unionOf RDF lists when a property allows several
+    datatypes (add_union_of_object, src/plan.rs:1965-1998). The
+    reference's Intangible/Enumeration remaps are schema.org-content
+    rules, N/A to a generic config."""
+    from ..functions.names import camel_case_to_regular
+
+    rows: list[tuple] = []
+
+    def t(s, p, o_kind, o_text=None, o_lang=None, s_kind="iri"):
+        rows.append((s_kind, s, p, o_kind, o_text, o_lang))
 
     for ns in schema.node_shapes:
         t(ns.target_class, vocab.RDF_TYPE, "iri", vocab.OWL_CLASS)
-        if ns.label:
-            t(ns.target_class, vocab.RDFS_LABEL, "langString", ns.label, "en")
+        label = ns.label or ns.target_class.rsplit("/", 1)[-1]
+        t(ns.target_class, vocab.RDFS_LABEL, "langString",
+          camel_case_to_regular(label), "en")
     for child, parent in schema.super_classes:
         t(child, vocab.RDFS_SUBCLASS_OF, "iri", parent)
     for a, b in schema.disjoint_pairs_expanded():
@@ -245,60 +300,60 @@ def build_yago_schema_triples(spark: SparkSession, schema: Schema) -> DataFrame:
     for ps in schema.property_shapes:
         kind = "ObjectProperty" if ps.nodes else "DatatypeProperty"
         t(ps.path, vocab.RDF_TYPE, "iri", vocab.OWL + kind)
+        t(ps.path, vocab.RDFS_LABEL, "langString",
+          camel_case_to_regular(ps.path.rsplit("/", 1)[-1]), "en")
         t(ps.path, vocab.RDFS + "domain", "iri", ps.parent_shape)
-
-    df = spark.createDataFrame(
-        rows, "s string, p string, o_kind string, o_text string, o_lang string"
-    )
-    obj = F.when(
-        F.col("o_kind") == "iri", iri_term(F.col("o_text"))
-    ).otherwise(
-        term_struct(F.lit("langString"), text=F.col("o_text"), lang=F.col("o_lang"))
-    )
-    return df.select(
-        iri_term(F.col("s")).alias("subject"),
-        iri_term(F.col("p")).alias("predicate"),
-        obj.alias("object"),
-    )
+        ranges = [("iri", r) for r in (ps.datatypes or ps.nodes)]
+        if len(ranges) == 1:
+            t(ps.path, vocab.RDFS + "range", "iri", ranges[0][1])
+        elif len(ranges) > 1:
+            union = f"union-{ps.path.rsplit('/', 1)[-1]}"
+            t(ps.path, vocab.RDFS + "range", "blank", union)
+            t(union, vocab.RDF_TYPE, "iri", vocab.OWL_CLASS, s_kind="blank")
+            head = _emit_rdf_list(rows, ps.path, ranges)
+            t(union, vocab.OWL + "unionOf",
+              "blank" if head != vocab.RDF_NIL else "iri", head,
+              s_kind="blank")
+    return _rows_to_triples(spark, rows)
 
 
 def build_yago_shapes_triples(spark: SparkSession, schema: Schema) -> DataFrame:
     """Re-emit the SHACL shape config as triples (reference:
-    src/plan.rs:2079-2202; sh:or RDF lists elided — constraints are
-    emitted flat, one sh:datatype triple per allowed datatype)."""
-    rows = []
+    src/plan.rs:2079-2202): NodeShapes with targetClass, PropertyShapes
+    with sh:path / sh:node / sh:maxCount / sh:uniqueLang / sh:pattern,
+    and multi-datatype constraints as real sh:or RDF lists of
+    [sh:datatype ...] members with deterministic blank labels."""
+    rows: list[tuple] = []
+
+    def t(s, p, o_kind, o_text=None, s_kind="iri"):
+        rows.append((s_kind, s, p, o_kind, o_text, None))
+
     for ns in schema.node_shapes:
         shape_iri = ns.target_class + "Shape"
-        rows.append((shape_iri, vocab.RDF_TYPE, vocab.SH + "NodeShape", None))
-        rows.append((shape_iri, vocab.SH + "targetClass", ns.target_class, None))
+        t(shape_iri, vocab.RDF_TYPE, "iri", vocab.SH + "NodeShape")
+        t(shape_iri, vocab.SH + "targetClass", "iri", ns.target_class)
     for ps in schema.property_shapes:
         pshape = ps.path + "Shape"
-        rows.append((pshape, vocab.RDF_TYPE, vocab.SH + "PropertyShape", None))
-        rows.append((pshape, vocab.SH + "path", ps.path, None))
-        for dt in ps.datatypes:
-            rows.append((pshape, vocab.SH + "datatype", dt, None))
+        t(pshape, vocab.RDF_TYPE, "iri", vocab.SH + "PropertyShape")
+        t(pshape, vocab.SH + "path", "iri", ps.path)
+        if len(ps.datatypes) == 1:
+            t(pshape, vocab.SH + "datatype", "iri", ps.datatypes[0])
+        elif len(ps.datatypes) > 1:
+            # sh:or ( [ sh:datatype d1 ] [ sh:datatype d2 ] ... )
+            members = []
+            for i, dt in enumerate(ps.datatypes):
+                m = f"or-{ps.path.rsplit('/', 1)[-1]}-{i}"
+                t(m, vocab.SH + "datatype", "iri", dt, s_kind="blank")
+                members.append(("blank", m))
+            head = _emit_rdf_list(rows, pshape, members)
+            t(pshape, vocab.SH + "or",
+              "blank" if head != vocab.RDF_NIL else "iri", head)
         for n in ps.nodes:
-            rows.append((pshape, vocab.SH + "node", n + "Shape", None))
+            t(pshape, vocab.SH + "node", "iri", n + "Shape")
         if ps.max_count is not None:
-            rows.append((pshape, vocab.SH + "maxCount", None, ps.max_count))
+            t(pshape, vocab.SH + "maxCount", "integer", str(ps.max_count))
+        if ps.is_unique_lang:
+            t(pshape, vocab.SH + "uniqueLang", "string", "true")
         if ps.pattern:
-            rows.append((pshape, vocab.SH + "pattern", None, None, ps.pattern))
-
-    norm = [
-        (r[0], r[1], r[2], r[3] if len(r) > 3 else None, r[4] if len(r) > 4 else None)
-        for r in rows
-    ]
-    df = spark.createDataFrame(
-        norm, "s string, p string, o_iri string, o_int long, o_str string"
-    )
-    obj = (
-        F.when(F.col("o_iri").isNotNull(), iri_term(F.col("o_iri")))
-        .when(F.col("o_int").isNotNull(),
-              term_struct(F.lit("integer"), num=F.col("o_int")))
-        .otherwise(term_struct(F.lit("string"), text=F.col("o_str")))
-    )
-    return df.select(
-        iri_term(F.col("s")).alias("subject"),
-        iri_term(F.col("p")).alias("predicate"),
-        obj.alias("object"),
-    )
+            t(pshape, vocab.SH + "pattern", "string", ps.pattern)
+    return _rows_to_triples(spark, rows)
