@@ -34,7 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     pb.add_argument("-o", "--out", required=True)
     pb.add_argument("--size", choices=["full", "all-wikis", "en-wiki"],
                     default="full")
-    pb.add_argument("--shapes", help="shapes Turtle config (default: sample schema)")
+    pb.add_argument("--shapes", action="append",
+                    help="Turtle config file; repeat for multi-file configs "
+                         "(ontology first, e.g. --shapes schema.ttl --shapes "
+                         "shapes.ttl). Default: sample schema")
     pb.add_argument("--min-instances", type=int, default=None)
     pb.add_argument("--work", help="stage/checkpoint dir (default: <out>/work)")
 
@@ -64,10 +67,9 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.uri_mapping import YagoSize
 
         if args.shapes:
-            from .plans.ttl import schema_from_turtle
+            from .plans.ttl import load_schema
 
-            with open(args.shapes) as f:
-                schema = schema_from_turtle(f.read())
+            schema = load_schema(args.shapes)
             if args.min_instances is not None:
                 schema.min_instances = args.min_instances
         else:

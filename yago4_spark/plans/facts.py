@@ -314,7 +314,7 @@ def statement_objects(
                 no_sides().alias("sides"),
             )
     elif nodes:
-        expected = [schema.node_shape(n).target_class for n in nodes]
+        expected = [schema.target_class_of(n) for n in nodes]
         if expected == [vocab.SCHEMA_GEO_COORDINATES]:
             out = _complex_join(st, shape, clean.coordinates, complex_prefix,
                                 has_sides=True)

@@ -23,11 +23,39 @@ from .. import vocab
 @dataclass(frozen=True)
 class NodeShape:
     """One target class and where it comes from in Wikidata
-    (schema.rs:37-42)."""
+    (schema.rs:37-42). ``target_class`` defaults to the shape IRI itself
+    when the config has no sh:targetClass (schema.rs:118-126) — the real
+    shapes.ttl never uses sh:targetClass."""
 
     target_class: str                       # schema.org class IRI
     from_classes: tuple[int, ...]           # Wikidata QIDs (ys:fromClass)
     label: str = ""
+    id: str = ""                            # shape IRI ('' → target_class)
+
+
+@dataclass(frozen=True)
+class ClassDef:
+    """An rdfs:Class from the ontology files (schema.rs:17-23): label,
+    comment, raw super/disjoint edges — consumed by the schema output and
+    the schema.org-internal subclass closure."""
+
+    id: str
+    label: str | None = None
+    comment: str | None = None
+    super_classes: tuple[str, ...] = ()
+    disjoint_classes: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class PropertyDef:
+    """An rdf:Property / owl:*Property from the ontology files
+    (schema.rs:26-33)."""
+
+    id: str
+    label: str | None = None
+    comment: str | None = None
+    super_properties: tuple[str, ...] = ()
+    inverse: tuple[str, ...] = ()           # owl:inverseOf + schema:inverseOf
 
 
 @dataclass(frozen=True)
@@ -69,12 +97,25 @@ class Schema:
     # disjoint class pairs (both directions implied)
     disjoint: list[tuple[str, str]] = field(default_factory=list)
     min_instances: int = vocab.MIN_NUMBER_OF_INSTANCES
+    # ontology objects from the full config load (schema.ttl etc.);
+    # empty for hand-built schemas — consumers must treat as optional
+    classes: dict[str, ClassDef] = field(default_factory=dict)
+    properties: dict[str, PropertyDef] = field(default_factory=dict)
 
     def node_shape(self, target_class: str) -> NodeShape:
         for ns in self.node_shapes:
             if ns.target_class == target_class:
                 return ns
         raise KeyError(target_class)
+
+    def target_class_of(self, iri: str) -> str:
+        """Resolve a sh:node value — a shape IRI or a target class — to
+        the shape's target class (the reference indexes shapes by IRI and
+        reads .target_class, schema.rs:1914-1920)."""
+        for ns in self.node_shapes:
+            if ns.target_class == iri or (ns.id or ns.target_class) == iri:
+                return ns.target_class
+        return iri
 
     def property_shapes_for(self, target_class: str) -> list[PropertyShape]:
         return [p for p in self.property_shapes if p.parent_shape == target_class]

@@ -10,7 +10,12 @@ small Turtle-subset parser sufficient for that config surface:
 - ``;`` predicate lists, ``,`` object lists
 - anonymous blank nodes ``[ ... ]`` (used by sh:property)
 - RDF collections ``( ... )`` (used by sh:or)
-- string / integer / boolean literals
+- string / long-string (``\"\"\"...\"\"\"``) / integer / boolean literals
+
+Multi-file load mirrors ``Schema::open()`` (src/schema.rs:68-74): all
+config files merge into ONE graph — schema.ttl supplies the rdfs:Class /
+rdf:Property ontology (labels, comments, subclass, disjoint, inverse)
+that the shapes files reference.
 
 Driver-side only (config-sized data) — never on executors.
 """
@@ -19,15 +24,23 @@ from __future__ import annotations
 
 import itertools
 import re
-from dataclasses import dataclass, field
+from pathlib import Path
 
-from .. import vocab
-from .shapes import AnnotationShape, NodeShape, PropertyShape, Schema
+from .. import terms, vocab
+from .shapes import (
+    AnnotationShape,
+    ClassDef,
+    NodeShape,
+    PropertyDef,
+    PropertyShape,
+    Schema,
+)
 
 _TOKEN = re.compile(
     r"""
       (?P<comment>\#[^\n]*)
     | (?P<iri><[^>]*>)
+    | (?P<longstring>\"{3}(?:\"{0,2}(?:[^"\\]|\\.))*\"{3})
     | (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<kw>@prefix|@base)
     | (?P<dtsuffix>\^\^)
@@ -47,13 +60,22 @@ RDF_REST = vocab.RDF_REST
 RDF_NIL = vocab.RDF_NIL
 
 
-@dataclass
 class Node:
-    kind: str  # iri | blank | literal
-    value: str
+    __slots__ = ("kind", "value")
+
+    def __init__(self, kind: str, value: str):
+        self.kind = kind        # iri | blank | literal
+        self.value = value
+
+    def __eq__(self, other):
+        return (isinstance(other, Node)
+                and self.kind == other.kind and self.value == other.value)
 
     def __hash__(self):
         return hash((self.kind, self.value))
+
+    def __repr__(self):
+        return f"Node({self.kind!r}, {self.value!r})"
 
 
 def _tokenize(text: str):
@@ -69,12 +91,15 @@ def _tokenize(text: str):
 
 
 class TurtleParser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, blank_prefix: str = ""):
         self.tokens = list(_tokenize(text))
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.triples: list[tuple[Node, Node, Node]] = []
         self._blank_ids = itertools.count()
+        # distinguishes blank labels across merged files (the reference
+        # seeds rio's blank labels with a per-file hash, schema.rs:326-329)
+        self._blank_prefix = blank_prefix
 
     def _peek(self):
         return self.tokens[self.i] if self.i < len(self.tokens) else None
@@ -105,14 +130,15 @@ class TurtleParser:
         return self.triples
 
     def _new_blank(self) -> Node:
-        return Node("blank", f"_:b{next(self._blank_ids)}")
+        return Node("blank", f"_:{self._blank_prefix}b{next(self._blank_ids)}")
 
     def _parse_node(self) -> Node:
         t = self._next()
         if t.group("iri"):
             return Node("iri", t.group("iri")[1:-1])
-        if t.group("string"):
-            raw = t.group("string")[1:-1]
+        if t.group("longstring") or t.group("string"):
+            raw = t.group("longstring")
+            raw = raw[3:-3] if raw else t.group("string")[1:-1]
             # consume optional ^^datatype / @lang (ignored for config use)
             nxt = self._peek()
             if nxt is not None and nxt.group("dtsuffix"):
@@ -177,21 +203,29 @@ class TurtleParser:
             break
 
 
-@dataclass
 class Graph:
-    triples: list[tuple[Node, Node, Node]] = field(default_factory=list)
+    """Indexed triple store — the 21k-line config yields ~17k triples and
+    the shape loader issues thousands of lookups, so (s,p)→o and
+    (p,o)→s hash indexes replace the previous linear scans."""
+
+    def __init__(self, triples: list[tuple[Node, Node, Node]]):
+        self.triples = triples
+        self._spo: dict[tuple[Node, str], list[Node]] = {}
+        self._pos: dict[tuple[str, Node], list[Node]] = {}
+        for s, p, o in triples:
+            if p.kind == "iri":
+                self._spo.setdefault((s, p.value), []).append(o)
+                self._pos.setdefault((p.value, o), []).append(s)
 
     def objects(self, s: Node, p_iri: str) -> list[Node]:
-        return [o for (ts, tp, o) in self.triples
-                if ts == s and tp.kind == "iri" and tp.value == p_iri]
+        return self._spo.get((s, p_iri), [])
 
     def object(self, s: Node, p_iri: str) -> Node | None:
         objs = self.objects(s, p_iri)
         return objs[0] if objs else None
 
     def subjects(self, p_iri: str, o: Node) -> list[Node]:
-        return [s for (s, tp, to) in self.triples
-                if to == o and tp.kind == "iri" and tp.value == p_iri]
+        return self._pos.get((p_iri, o), [])
 
     def rdf_list(self, head: Node | None) -> list[Node]:
         out = []
@@ -207,106 +241,212 @@ def parse_turtle(text: str) -> Graph:
     return Graph(TurtleParser(text).parse())
 
 
+def parse_turtle_files(texts: list[str]) -> Graph:
+    """Merge several Turtle files into one graph (Schema::open(),
+    src/schema.rs:68-74), keeping blank labels distinct per file."""
+    all_triples: list[tuple[Node, Node, Node]] = []
+    for i, text in enumerate(texts):
+        all_triples.extend(TurtleParser(text, blank_prefix=f"f{i}").parse())
+    return Graph(all_triples)
+
+
 _QID_RE = re.compile(r"Q(\d+)$")
-_PID_RE = re.compile(r"P(\d+)$")
+# PIDs only from the 14 Wikidata property namespaces (model.rs:209-224) —
+# a plain IRI like skos:prefLabel must NOT be mistaken for a PID.
+_WD_PID_PREFIXES = tuple(vocab.PROPERTY_PREFIXES)
 
 SH = vocab.SH
 YS = vocab.YS
 
 
-def schema_from_turtle(text: str,
-                       min_instances: int = vocab.MIN_NUMBER_OF_INSTANCES
-                       ) -> Schema:
-    """Build a Schema from shapes Turtle using the reference's config
-    vocabulary (schema.rs:188-301): sh:targetClass, ys:fromClass,
-    sh:property → [sh:path, ys:fromProperty, sh:datatype | sh:or list,
-    sh:node, sh:maxCount, sh:uniqueLang, sh:pattern],
-    ys:AnnotationPropertyShape, rdfs:subClassOf, owl:disjointWith."""
-    g = parse_turtle(text)
+def _pid(node: Node) -> int | None:
+    for pfx in _WD_PID_PREFIXES:
+        if node.value.startswith(pfx):
+            rest = node.value[len(pfx):]
+            if rest.isdigit():
+                return int(rest)
+    return None
+
+
+def _qid(node: Node) -> int | None:
+    m = _QID_RE.search(node.value)
+    return int(m.group(1)) if m else None
+
+
+def _shape_roots(g: Graph, pnode: Node) -> list[Node]:
+    """The property-shape node plus every sh:or list member
+    (property_shape_roots, src/schema.rs:276-284)."""
+    roots = [pnode]
+    for or_head in g.objects(pnode, SH + "or"):
+        roots.extend(g.rdf_list(or_head))
+    return roots
+
+
+def _split_from_properties(g: Graph, pnode: Node
+                           ) -> tuple[tuple[int, ...], tuple[str, ...]]:
+    """ys:fromProperty values: Wikidata PIDs → from_properties (statement
+    scans), any other IRI (skos:prefLabel, schema:description…) →
+    from_predicates (direct predicate_key scans, plan.rs:818-892)."""
+    pids, keys = [], []
+    for o in g.objects(pnode, YS + "fromProperty"):
+        p = _pid(o)
+        if p is not None:
+            pids.append(p)
+        elif o.kind == "iri":
+            keys.append(terms.predicate_key_py({"kind": "iri", "text": o.value}))
+    return tuple(pids), tuple(keys)
+
+
+def _property_shape(g: Graph, pnode: Node, parent: str) -> PropertyShape:
+    path = g.object(pnode, SH + "path")
+    assert path is not None, f"property shape {pnode} without sh:path"
+    from_props, from_preds = _split_from_properties(g, pnode)
+    roots = _shape_roots(g, pnode)
+    dts = tuple(o.value for r in roots for o in g.objects(r, SH + "datatype"))
+    nodes = tuple(o.value for r in roots for o in g.objects(r, SH + "node"))
+    max_count = g.object(pnode, SH + "maxCount")
+    unique_lang = g.object(pnode, SH + "uniqueLang")
+    pattern = g.object(pnode, SH + "pattern")
+    return PropertyShape(
+        path=path.value,
+        parent_shape=parent,
+        from_properties=from_props,
+        datatypes=dts,
+        nodes=nodes,
+        max_count=int(max_count.value) if max_count else None,
+        is_unique_lang=bool(unique_lang and unique_lang.value in ("true", "1")),
+        pattern=pattern.value if pattern else None,
+        from_predicates=from_preds,
+    )
+
+
+def schema_from_graph(g: Graph,
+                      min_instances: int = vocab.MIN_NUMBER_OF_INSTANCES
+                      ) -> Schema:
+    """Build a Schema from a (merged) config graph using the reference's
+    rules (schema.rs:76-301):
+
+    - NodeShape.target_class defaults to the shape IRI itself when
+      sh:targetClass is absent (schema.rs:118-126) — the real shapes.ttl
+      NEVER uses sh:targetClass.
+    - PropertyShape datatypes/nodes collect sh:datatype AND sh:node from
+      the shape node plus all sh:or alternatives (schema.rs:276-284).
+    - Class/Property ontology objects (labels, comments, subclass,
+      disjoint, subPropertyOf, owl:inverseOf + schema:inverseOf) come
+      from rdfs:Class / rdf:Property-typed subjects (schema.rs:76-186).
+    - super_classes follows subclass_of_from_yago_schema
+      (plan.rs:2224-2248): node-shape target classes only, Intangible /
+      MedicalIntangible → Thing, StructuredValue / Series dropped.
+    """
     schema = Schema(min_instances=min_instances)
-
-    def qid(node: Node) -> int | None:
-        m = _QID_RE.search(node.value)
-        return int(m.group(1)) if m else None
-
-    def pid(node: Node) -> int | None:
-        m = _PID_RE.search(node.value)
-        return int(m.group(1)) if m else None
 
     node_shapes = g.subjects(vocab.RDF_TYPE, Node("iri", SH + "NodeShape"))
     for ns in node_shapes:
-        target = g.object(ns, SH + "targetClass")
-        if target is None:
-            continue
+        target = g.object(ns, SH + "targetClass") or ns
         from_classes = tuple(
-            q for q in (qid(o) for o in g.objects(ns, YS + "fromClass"))
+            q for q in (_qid(o) for o in g.objects(ns, YS + "fromClass"))
             if q is not None
         )
         label = g.object(ns, vocab.RDFS_LABEL)
         schema.node_shapes.append(
             NodeShape(target.value, from_classes,
-                      label.value if label else "")
+                      label.value if label else "", id=ns.value)
         )
         for pnode in g.objects(ns, SH + "property"):
-            path = g.object(pnode, SH + "path")
-            if path is None:
-                continue
-            from_props = tuple(
-                p for p in (pid(o) for o in g.objects(pnode, YS + "fromProperty"))
-                if p is not None
-            )
-            dts = [o.value for o in g.objects(pnode, SH + "datatype")]
-            for or_head in g.objects(pnode, SH + "or"):
-                for alt in g.rdf_list(or_head):
-                    dt = g.object(alt, SH + "datatype")
-                    if dt is not None:
-                        dts.append(dt.value)
-                    nd = g.object(alt, SH + "node")
-                    if nd is not None:
-                        dts.append(("node", nd.value))
-            nodes = [o.value for o in g.objects(pnode, SH + "node")]
-            nodes += [v for v in dts if isinstance(v, tuple)]
-            dts = tuple(v for v in dts if isinstance(v, str))
-            nodes = tuple(
-                v[1] if isinstance(v, tuple) else v for v in nodes
-            )
-            max_count = g.object(pnode, SH + "maxCount")
-            unique_lang = g.object(pnode, SH + "uniqueLang")
-            pattern = g.object(pnode, SH + "pattern")
-            schema.property_shapes.append(PropertyShape(
-                path=path.value,
-                parent_shape=target.value,
-                from_properties=from_props,
-                datatypes=dts,
-                nodes=nodes,
-                max_count=int(max_count.value) if max_count else None,
-                is_unique_lang=bool(unique_lang and unique_lang.value == "true"),
-                pattern=pattern.value if pattern else None,
-            ))
+            schema.property_shapes.append(_property_shape(g, pnode, target.value))
 
     for ann in g.subjects(vocab.RDF_TYPE, Node("iri", YS + "AnnotationPropertyShape")):
         path = g.object(ann, SH + "path")
         if path is None:
             continue
-        from_props = tuple(
-            p for p in (pid(o) for o in g.objects(ann, YS + "fromProperty"))
-            if p is not None
-        )
-        dts = [o.value for o in g.objects(ann, SH + "datatype")]
-        for or_head in g.objects(ann, SH + "or"):
-            for alt in g.rdf_list(or_head):
-                dt = g.object(alt, SH + "datatype")
-                if dt is not None:
-                    dts.append(dt.value)
+        from_props, _ = _split_from_properties(g, ann)
+        roots = _shape_roots(g, ann)
+        dts = tuple(o.value for r in roots for o in g.objects(r, SH + "datatype"))
         schema.annotation_shapes.append(
-            AnnotationShape(path.value, from_props, tuple(dts))
+            AnnotationShape(path.value, from_props, dts)
         )
 
+    # --- ontology objects (schema.rs:76-186) ---------------------------
+    for c in g.subjects(vocab.RDF_TYPE, Node("iri", vocab.RDFS_CLASS)):
+        if c.kind != "iri" or c.value in schema.classes:
+            continue
+        label = g.object(c, vocab.RDFS_LABEL)
+        comment = g.object(c, vocab.RDFS_COMMENT)
+        schema.classes[c.value] = ClassDef(
+            id=c.value,
+            label=label.value if label else None,
+            comment=comment.value if comment else None,
+            super_classes=tuple(o.value for o in g.objects(c, vocab.RDFS_SUBCLASS_OF)
+                                if o.kind == "iri"),
+            disjoint_classes=tuple(o.value for o in g.objects(c, vocab.OWL_DISJOINT_WITH)
+                                   if o.kind == "iri"),
+        )
+    for t in (vocab.RDF_PROPERTY, vocab.OWL_DATATYPE_PROPERTY,
+              vocab.OWL_OBJECT_PROPERTY):
+        for p in g.subjects(vocab.RDF_TYPE, Node("iri", t)):
+            if p.kind != "iri" or p.value in schema.properties:
+                continue
+            label = g.object(p, vocab.RDFS_LABEL)
+            comment = g.object(p, vocab.RDFS_COMMENT)
+            inverse = tuple(
+                o.value
+                for pred in (vocab.OWL_INVERSE_OF, vocab.SCHEMA_INVERSE_OF)
+                for o in g.objects(p, pred) if o.kind == "iri"
+            )
+            schema.properties[p.value] = PropertyDef(
+                id=p.value,
+                label=label.value if label else None,
+                comment=comment.value if comment else None,
+                super_properties=tuple(
+                    o.value for o in g.objects(p, vocab.RDFS_SUB_PROPERTY_OF)
+                    if o.kind == "iri"),
+                inverse=inverse,
+            )
+
+    # --- subclass + disjoint surface ------------------------------------
+    if schema.classes:
+        seen = set()
+        for ns in schema.node_shapes:
+            cd = schema.classes.get(ns.target_class)
+            if cd is None:
+                continue
+            for sc in cd.super_classes:
+                if sc in (vocab.SCHEMA_INTANGIBLE, vocab.SCHEMA_MEDICAL_INTANGIBLE):
+                    edge = (ns.target_class, vocab.SCHEMA_THING)
+                elif sc in (vocab.SCHEMA_STRUCTURED_VALUE, vocab.SCHEMA_SERIES):
+                    continue
+                else:
+                    edge = (ns.target_class, sc)
+                if edge not in seen:
+                    seen.add(edge)
+                    schema.super_classes.append(edge)
+    else:
+        # legacy shapes-only configs: raw rdfs:subClassOf triples
+        for (s, p, o) in g.triples:
+            if p.kind == "iri" and p.value == vocab.RDFS_SUBCLASS_OF:
+                schema.super_classes.append((s.value, o.value))
+
+    shape_targets = {ns.target_class for ns in schema.node_shapes}
     for (s, p, o) in g.triples:
-        if p.kind == "iri" and p.value == vocab.RDFS_SUBCLASS_OF:
-            schema.super_classes.append((s.value, o.value))
         if p.kind == "iri" and p.value == vocab.OWL_DISJOINT_WITH:
-            pair = (s.value, o.value)
-            if (o.value, s.value) not in schema.disjoint:
-                schema.disjoint.append(pair)
+            if s.value in shape_targets and o.value in shape_targets:
+                pair = (s.value, o.value)
+                if (o.value, s.value) not in schema.disjoint:
+                    schema.disjoint.append(pair)
     return schema
+
+
+def schema_from_turtle(text: str,
+                       min_instances: int = vocab.MIN_NUMBER_OF_INSTANCES
+                       ) -> Schema:
+    """Single-file convenience wrapper over :func:`schema_from_graph`."""
+    return schema_from_graph(parse_turtle(text), min_instances)
+
+
+def load_schema(paths: list[str | Path],
+                min_instances: int = vocab.MIN_NUMBER_OF_INSTANCES) -> Schema:
+    """Load + merge a list of Turtle config files (ontology files first,
+    like the reference's SCHEMA_DATA order: schema.ttl, shapes.ttl,
+    bioschemas.ttl, shapes-bio.ttl — src/schema.rs:303-308)."""
+    texts = [Path(p).read_text() for p in paths]
+    return schema_from_graph(parse_turtle_files(texts), min_instances)

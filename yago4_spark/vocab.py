@@ -63,9 +63,21 @@ RDF_LANG_STRING = RDF + "langString"
 RDFS_LABEL = RDFS + "label"
 RDFS_COMMENT = RDFS + "comment"
 RDFS_SUBCLASS_OF = RDFS + "subClassOf"
+RDFS_SUB_PROPERTY_OF = RDFS + "subPropertyOf"
+RDFS_CLASS = RDFS + "Class"
+RDFS_DOMAIN = RDFS + "domain"
+RDFS_RANGE = RDFS + "range"
+RDFS_DATATYPE = RDFS + "Datatype"
+RDF_PROPERTY = RDF + "Property"
+RDF_PLAIN_LITERAL = RDF + "PlainLiteral"
 OWL_SAME_AS = OWL + "sameAs"
 OWL_CLASS = OWL + "Class"
 OWL_DISJOINT_WITH = OWL + "disjointWith"
+OWL_INVERSE_OF = OWL + "inverseOf"
+OWL_DATATYPE_PROPERTY = OWL + "DatatypeProperty"
+OWL_OBJECT_PROPERTY = OWL + "ObjectProperty"
+OWL_FUNCTIONAL_PROPERTY = OWL + "FunctionalProperty"
+OWL_UNION_OF = OWL + "unionOf"
 
 XSD_STRING = XSD + "string"
 XSD_INTEGER = XSD + "integer"
@@ -92,6 +104,17 @@ SCHEMA_VALUE = SCHEMA + "value"
 SCHEMA_MIN_VALUE = SCHEMA + "minValue"
 SCHEMA_MAX_VALUE = SCHEMA + "maxValue"
 SCHEMA_UNIT_CODE = SCHEMA + "unitCode"
+SCHEMA_INVERSE_OF = SCHEMA + "inverseOf"
+
+# schema.org classes with hard-coded remap rules in the reference's
+# schema output + taxonomy (plan.rs:1812-1831, 2224-2248).
+SCHEMA_INTANGIBLE = SCHEMA + "Intangible"
+SCHEMA_ENUMERATION = SCHEMA + "Enumeration"
+SCHEMA_MEDICAL_INTANGIBLE = SCHEMA + "MedicalIntangible"
+SCHEMA_MEDICAL_ENUMERATION = SCHEMA + "MedicalEnumeration"
+SCHEMA_MEDICAL_ENTITY = SCHEMA + "MedicalEntity"
+SCHEMA_STRUCTURED_VALUE = SCHEMA + "StructuredValue"
+SCHEMA_SERIES = SCHEMA + "Series"
 
 SKOS_PREF_LABEL = SKOS + "prefLabel"
 
