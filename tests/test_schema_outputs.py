@@ -51,6 +51,47 @@ def test_schema_output(spark):
                if g[1] == f"<{vocab.RDF_REST}>")
 
 
+def test_schema_output_real_config(spark):
+    """With the full ontology loaded (schema.ttl), the schema output
+    emits rdfs:comment, owl:inverseOf, owl:FunctionalProperty and the
+    Intangible/Enumeration→Thing remap, and gates on rdfs:Class /
+    rdf:Property existence (src/plan.rs:1783-1925)."""
+    import os
+
+    import pytest
+
+    ref = "/root/reference/src/data"
+    files = ["schema.ttl", "shapes.ttl", "bioschemas.ttl", "shapes-bio.ttl"]
+    if not all(os.path.exists(f"{ref}/{f}") for f in files):
+        pytest.skip("reference config not present")
+    from yago4_spark.plans.ttl import load_schema
+
+    schema = load_schema([f"{ref}/{f}" for f in files])
+    got = triples(build_yago_schema_triples(spark, schema))
+
+    # class comment from schema.ttl, verbatim
+    person_comments = [g for g in got
+                       if g[0] == f"<{S}Person>" and "comment" in g[1]]
+    assert len(person_comments) == 1
+    assert "A person" in person_comments[0][2]
+    # property comment + functional (birthDate has sh:maxCount 1)
+    assert any(g[0] == f"<{S}birthDate>" and "comment" in g[1] for g in got)
+    assert (f"<{S}birthDate>", f"<{vocab.RDF_TYPE}>",
+            "<http://www.w3.org/2002/07/owl#FunctionalProperty>") in got
+    # owl:inverseOf via schema:inverseOf (alumniOf ↔ alumni)
+    inv = {(g[0], g[2]) for g in got if g[1] == f"<{vocab.OWL_INVERSE_OF}>"}
+    assert (f"<{S}alumniOf>", f"<{S}alumni>") in inv
+    # subclass remap: nothing may point at Intangible / StructuredValue
+    parents = {g[2] for g in got if g[1] == f"<{vocab.RDFS_SUBCLASS_OF}>"}
+    assert f"<{S}Intangible>" not in parents
+    assert f"<{S}StructuredValue>" not in parents
+    # gating: rdfs:label is not an rdf:Property in schema.ttl → skipped
+    assert not any(g[0] == f"<{vocab.RDFS_LABEL}>" for g in got)
+    # datatype range remap: rdf:langString → rdf:PlainLiteral
+    objs = {g[2] for g in got}
+    assert f"<{vocab.RDF_LANG_STRING}>" not in objs
+
+
 def test_shapes_output(spark):
     got = triples(build_yago_shapes_triples(spark, sample_schema()))
     assert (f"<{S}PersonShape>", f"<{vocab.SH}targetClass>", f"<{S}Person>") in got

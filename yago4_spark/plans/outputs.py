@@ -273,14 +273,41 @@ def _emit_rdf_list(rows: list, owner: str, items: list[tuple[str, str]],
     return head
 
 
+def _output_super_edges(cls_id: str, supers: tuple[str, ...]
+                        ) -> list[tuple[str, str]]:
+    """The schema output's subclass remap (src/plan.rs:1812-1838):
+    Intangible/Enumeration → Thing, MedicalIntangible/MedicalEnumeration
+    → MedicalEntity, StructuredValue/Series dropped, else verbatim."""
+    out = []
+    for sc in supers:
+        if sc in (vocab.SCHEMA_INTANGIBLE, vocab.SCHEMA_ENUMERATION):
+            out.append((cls_id, vocab.SCHEMA_THING))
+        elif sc in (vocab.SCHEMA_MEDICAL_INTANGIBLE,
+                    vocab.SCHEMA_MEDICAL_ENUMERATION):
+            out.append((cls_id, vocab.SCHEMA_MEDICAL_ENTITY))
+        elif sc in (vocab.SCHEMA_STRUCTURED_VALUE, vocab.SCHEMA_SERIES):
+            continue
+        else:
+            out.append((cls_id, sc))
+    return out
+
+
 def build_yago_schema_triples(spark: SparkSession, schema: Schema) -> DataFrame:
     """OWL TBox emission from the driver-side shape config (reference:
     src/plan.rs:1783-1962): classes with camel-case-split labels,
-    hierarchy, disjointness, property typing, rdfs:domain, and
-    rdfs:range as owl:unionOf RDF lists when a property allows several
-    datatypes (add_union_of_object, src/plan.rs:1965-1998). The
-    reference's Intangible/Enumeration remaps are schema.org-content
-    rules, N/A to a generic config."""
+    rdfs:comment, remapped hierarchy (Intangible/Enumeration → Thing
+    etc., plan.rs:1812-1838), disjointness, property typing with
+    rdfs:comment / rdfs:subPropertyOf / owl:inverseOf /
+    owl:FunctionalProperty, and rdfs:domain / rdfs:range aggregated
+    across shapes as owl:unionOf RDF lists (add_union_of_object,
+    src/plan.rs:1965-1998).
+
+    When the schema has no ontology objects (hand-built configs without
+    a schema.ttl), class/property emission is NOT gated on rdfs:Class /
+    rdf:Property typing and labels fall back to IRI local names; with
+    ontology objects loaded, unlisted classes/properties are skipped
+    exactly like the reference's ``schema.class(...)`` /
+    ``schema.property(...)`` Option gates."""
     from ..functions.names import camel_case_to_regular
 
     rows: list[tuple] = []
@@ -288,32 +315,96 @@ def build_yago_schema_triples(spark: SparkSession, schema: Schema) -> DataFrame:
     def t(s, p, o_kind, o_text=None, o_lang=None, s_kind="iri"):
         rows.append((s_kind, s, p, o_kind, o_text, o_lang))
 
+    have_ontology = bool(schema.classes or schema.properties)
+
+    # --- classes (plan.rs:1789-1849) -----------------------------------
     for ns in schema.node_shapes:
-        t(ns.target_class, vocab.RDF_TYPE, "iri", vocab.OWL_CLASS)
-        label = ns.label or ns.target_class.rsplit("/", 1)[-1]
-        t(ns.target_class, vocab.RDFS_LABEL, "langString",
-          camel_case_to_regular(label), "en")
-    for child, parent in schema.super_classes:
-        t(child, vocab.RDFS_SUBCLASS_OF, "iri", parent)
-    for a, b in schema.disjoint_pairs_expanded():
-        t(a, vocab.OWL_DISJOINT_WITH, "iri", b)
+        tc = ns.target_class
+        cd = schema.classes.get(tc)
+        if have_ontology and cd is None:
+            continue
+        t(tc, vocab.RDF_TYPE, "iri", vocab.OWL_CLASS)
+        label = (cd.label if cd else None) or ns.label or tc.rsplit("/", 1)[-1]
+        t(tc, vocab.RDFS_LABEL, "langString", camel_case_to_regular(label), "en")
+        if cd:
+            if cd.comment:
+                t(tc, vocab.RDFS_COMMENT, "string", cd.comment)
+            for child, parent in _output_super_edges(tc, cd.super_classes):
+                t(child, vocab.RDFS_SUBCLASS_OF, "iri", parent)
+            for dj in cd.disjoint_classes:
+                t(tc, vocab.OWL_DISJOINT_WITH, "iri", dj)
+    if not have_ontology:
+        for child, parent in schema.super_classes:
+            t(child, vocab.RDFS_SUBCLASS_OF, "iri", parent)
+        for a, b in schema.disjoint_pairs_expanded():
+            t(a, vocab.OWL_DISJOINT_WITH, "iri", b)
+
+    # --- properties (plan.rs:1851-1925) --------------------------------
+    domains: dict[str, set] = {}
+    object_ranges: dict[str, set] = {}
+    datatype_ranges: dict[str, set] = {}
+    emitted: dict[str, set] = {}
+
     for ps in schema.property_shapes:
-        kind = "ObjectProperty" if ps.nodes else "DatatypeProperty"
-        t(ps.path, vocab.RDF_TYPE, "iri", vocab.OWL + kind)
-        t(ps.path, vocab.RDFS_LABEL, "langString",
-          camel_case_to_regular(ps.path.rsplit("/", 1)[-1]), "en")
-        t(ps.path, vocab.RDFS + "domain", "iri", ps.parent_shape)
-        ranges = [("iri", r) for r in (ps.datatypes or ps.nodes)]
-        if len(ranges) == 1:
-            t(ps.path, vocab.RDFS + "range", "iri", ranges[0][1])
-        elif len(ranges) > 1:
-            union = f"union-{ps.path.rsplit('/', 1)[-1]}"
-            t(ps.path, vocab.RDFS + "range", "blank", union)
-            t(union, vocab.RDF_TYPE, "iri", vocab.OWL_CLASS, s_kind="blank")
-            head = _emit_rdf_list(rows, ps.path, ranges)
-            t(union, vocab.OWL + "unionOf",
-              "blank" if head != vocab.RDF_NIL else "iri", head,
-              s_kind="blank")
+        pd = schema.properties.get(ps.path)
+        if have_ontology and pd is None:
+            continue
+        if ps.nodes and not ps.datatypes:
+            kind = vocab.OWL_OBJECT_PROPERTY
+        elif ps.datatypes and not ps.nodes:
+            kind = vocab.OWL_DATATYPE_PROPERTY
+        else:
+            kind = vocab.RDF_PROPERTY
+        done = emitted.setdefault(ps.path, set())
+        if kind not in done:
+            done.add(kind)
+            t(ps.path, vocab.RDF_TYPE, "iri", kind)
+        if "_base" not in done:
+            done.add("_base")
+            label = (pd.label if pd else None) or ps.path.rsplit("/", 1)[-1]
+            t(ps.path, vocab.RDFS_LABEL, "langString",
+              camel_case_to_regular(label), "en")
+            if pd:
+                if pd.comment:
+                    t(ps.path, vocab.RDFS_COMMENT, "string", pd.comment)
+                for sp in pd.super_properties:
+                    t(ps.path, vocab.RDFS_SUB_PROPERTY_OF, "iri", sp)
+                for inv in pd.inverse:
+                    t(ps.path, vocab.OWL_INVERSE_OF, "iri", inv)
+        if ps.max_count == 1 and "_functional" not in done:
+            done.add("_functional")
+            t(ps.path, vocab.RDF_TYPE, "iri", vocab.OWL_FUNCTIONAL_PROPERTY)
+        domains.setdefault(ps.path, set()).add(ps.parent_shape)
+        for n in ps.nodes:
+            object_ranges.setdefault(ps.path, set()).add(
+                schema.target_class_of(n))
+        for dt in ps.datatypes:
+            datatype_ranges.setdefault(ps.path, set()).add(
+                # rdf:langString is not in OWL 2 (RDF 1.0) — plan.rs:1918-1922
+                vocab.RDF_PLAIN_LITERAL if dt == vocab.RDF_LANG_STRING else dt
+            )
+
+    def add_union_of(path: str, pred: str, members: set, member_type: str):
+        ordered = sorted(members)
+        if len(ordered) == 1:
+            t(path, pred, "iri", ordered[0])
+            return
+        tail = path.rsplit("/", 1)[-1]
+        union = f"union-{tail}-{pred.rsplit('#', 1)[-1].rsplit('/', 1)[-1]}"
+        t(path, pred, "blank", union)
+        t(union, vocab.RDF_TYPE, "iri", member_type, s_kind="blank")
+        head = _emit_rdf_list(rows, union, [("iri", m) for m in ordered])
+        t(union, vocab.OWL_UNION_OF,
+          "blank" if head != vocab.RDF_NIL else "iri", head, s_kind="blank")
+
+    for path in sorted(domains):
+        add_union_of(path, vocab.RDFS_DOMAIN, domains[path], vocab.OWL_CLASS)
+    for path in sorted(object_ranges):
+        add_union_of(path, vocab.RDFS_RANGE, object_ranges[path],
+                     vocab.OWL_CLASS)
+    for path in sorted(datatype_ranges):
+        add_union_of(path, vocab.RDFS_RANGE, datatype_ranges[path],
+                     vocab.RDFS_DATATYPE)
     return _rows_to_triples(spark, rows)
 
 
