@@ -310,12 +310,14 @@ def q_ann_cosine_topk(spark, sf):
 
 
 def q_ann_ivf_topk(spark, sf):
-    """IVF-bucketed approximate top-k (the 100 TB scale path; no SQL
-    oracle — compared rows-only)."""
+    """IVF-bucketed approximate top-k (the 100 TB scale path): probe the
+    n_probe cells nearest the query, brute-force inside them. Oracle
+    replicates the deterministic centroid pick + rounded-cosine argmax
+    assignment in SQL."""
     from yago4_spark.operators.similarity import ivf_topk
 
     return ivf_topk(_t(spark, sf, "embeddings"), _ANN_QUERY, k=10,
-                    n_cells=8, n_probe=3)
+                    n_cells=8, n_probe=4)
 
 
 def q_embedding_near_dup(spark, sf):
@@ -561,11 +563,15 @@ def oracle_sql() -> dict[str, str]:
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         """,
         "dedup_ngram_jaccard": _SHINGLES_SQL + r"""
-        , sizes AS (
-            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        , hot AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000
+        ), shc AS (
+            SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
         ), common AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT id_a, id_b,
@@ -602,6 +608,38 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]),
                        {list(map(float, _ANN_QUERY))}), 6) AS sim
             FROM embeddings
+            ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_topk": f"""
+            WITH cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+                       CAST(embedding AS DOUBLE[]) AS cvec
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id ASC LIMIT 8)
+            ), sims AS (
+                SELECT e.vec_id, c.cell,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS csim,
+                       CAST(e.embedding AS DOUBLE[]) AS v
+                FROM embeddings e CROSS JOIN cents c
+            ), assigned AS (
+                SELECT vec_id, cell, v FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY csim DESC, cell ASC) rn
+                    FROM sims) WHERE rn = 1
+            ), probe AS (
+                SELECT cell FROM (
+                    SELECT cell,
+                           round(list_cosine_similarity(
+                               cvec, {list(map(float, _ANN_QUERY))}), 6) AS s
+                    FROM cents)
+                ORDER BY s DESC, cell ASC LIMIT 4
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       v, {list(map(float, _ANN_QUERY))}), 6) AS sim
+            FROM assigned WHERE cell IN (SELECT cell FROM probe)
             ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
         "embedding_near_dup": """

@@ -60,10 +60,13 @@ def main() -> None:
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     t_total0 = time.time()
+    from yago4_spark.operators.cache import release_all
+
     for name in HEADLINE:
         t0 = time.time()
         force(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        release_all()  # drop operator-internal persists between queries
 
     # graft front-end throughput: documents → candidates → linked mentions
     from yago4_spark.operators.linking import candidate_mentions, link_entities

@@ -76,6 +76,40 @@ def test_ngram_jaccard(docs):
     assert not any("e" in p for p in pairs)
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A stop-shingle shared by the whole corpus must not create an
+    O(n²) block: with the DF cap it contributes no candidate pairs."""
+    stop = "lorem ipsum dolor"
+    rows = [(f"d{i}", f"{stop} unique{i} tail{i} word{i}")
+            for i in range(40)]
+    # two genuinely identical docs ride along
+    rows += [("x1", "alpha beta gamma delta"), ("x2", "alpha beta gamma delta")]
+    corpus = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.3, max_shingle_df=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # without the cap the stop shingle alone blocks 40*39/2 = 780
+    # candidate pairs; capped, only the true duplicate pair survives
+    assert got == {("x1", "x2")}
+    # uncapped: the hot shingle floods the candidate set — visible at a
+    # low threshold (40*39/2 = 780 one-shingle pairs)
+    uncapped = ngram_jaccard_pairs(corpus, threshold=0.05,
+                                   max_shingle_df=10_000)
+    assert uncapped.count() > 700
+    capped = ngram_jaccard_pairs(corpus, threshold=0.05, max_shingle_df=10)
+    assert capped.count() == 1
+
+
+def test_cache_release(spark, docs):
+    from yago4_spark.operators.cache import release_all
+
+    ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    jsc = spark.sparkContext._jsc.sc()
+    n_before = jsc.getPersistentRDDs().size()
+    released = release_all()
+    assert released >= 1
+    assert jsc.getPersistentRDDs().size() < n_before
+
+
 def test_minhash_lsh(docs):
     sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
     assert sigs["a"] == sigs["b"]  # identical docs → identical signatures
@@ -126,6 +160,23 @@ def test_ivf_topk_recall(embeddings):
                                             n_cells=5, n_probe=3).collect()]
     # recall@5 >= 0.6 for the approximate path on this easy fixture
     assert len(set(exact) & set(approx)) >= 3
+
+
+def test_ivf_recall_sf001(spark):
+    """VERDICT r01 item 3: recall@10 of the IVF path vs the exact
+    baseline on the driver's sf0.01 embeddings table."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata not present")
+    emb = spark.read.parquet(path)
+    q = [1.0] + [0.0] * 63
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, q, k=10, n_cells=8,
+                                            n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"recall@10 = {recall}"
 
 
 def test_embedding_near_dup(embeddings):

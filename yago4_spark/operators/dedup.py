@@ -52,14 +52,31 @@ def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_shingle_df: int = 1000) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard >= threshold.
 
     Blocking: pairs share >=1 shingle (self-join on shingle), then
     |A∩B| is counted and Jaccard computed from per-doc shingle counts —
     one shuffle on shingle + one on the pair key.
+
+    ``max_shingle_df`` caps shingle document frequency before the
+    self-join: one stop-word-ish shingle shared by 10^6 docs would
+    otherwise make a single O(df²) block. Hot shingles carry ~no
+    Jaccard signal (they're in everything), so dropping them tightens
+    precision too; Jaccard is computed over the capped shingle space
+    on both sides of the ratio.
     """
-    sh = shingles(docs, id_col, text_col, n).persist()
+    from .cache import track
+
+    sh = shingles(docs, id_col, text_col, n)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    sh = track(sh.join(hot, "shingle", "left_anti"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed("doc_id", "id_a")
     b = sh.withColumnRenamed("doc_id", "id_b")

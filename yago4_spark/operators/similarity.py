@@ -66,8 +66,10 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame,
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         "cell",
-        cosine(F.col(vec_col).cast("array<double>"),
-               F.col("cvec").cast("array<double>")).alias("csim"),
+        # rounded so argmax ties break on cell id identically across
+        # engines (float sum order differs between Spark and the oracle)
+        F.round(cosine(F.col(vec_col).cast("array<double>"),
+                       F.col("cvec").cast("array<double>")), 6).alias("csim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(),
                                              F.col("cell").asc())
@@ -100,8 +102,9 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: probe the n_probe cells whose centroids are
     nearest the query, brute-force inside them."""
-    cents = deterministic_centroids(embeddings, n_cells, id_col, vec_col)
-    cents = cents.persist()
+    from .cache import track
+
+    cents = track(deterministic_centroids(embeddings, n_cells, id_col, vec_col))
     assigned = assign_cells(embeddings, cents, id_col, vec_col)
 
     q = F.array(*[F.lit(float(x)) for x in query])
@@ -109,7 +112,7 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
         r["cell"]
         for r in cents.select(
             "cell",
-            cosine(F.col("cvec").cast("array<double>"), q).alias("s"),
+            F.round(cosine(F.col("cvec").cast("array<double>"), q), 6).alias("s"),
         )
         .orderBy(F.col("s").desc(), F.col("cell").asc())
         .limit(n_probe)
@@ -129,8 +132,10 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding") -> DataFrame:
     """Near-duplicate vector pairs: block by IVF cell, all-pairs only
     within a cell, cosine >= threshold. Returns (id_a, id_b, sim)."""
+    from .cache import track
+
     cents = deterministic_centroids(embeddings, n_cells, id_col, vec_col)
-    assigned = assign_cells(embeddings, cents, id_col, vec_col).persist()
+    assigned = track(assign_cells(embeddings, cents, id_col, vec_col))
     a = assigned.select(
         F.col("cell"), F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
