@@ -1,0 +1,117 @@
+"""Run the 100k-entity statistical differential (fixtures_large.py
+ground truth + Python oracle vs the full Spark pipeline) and append the
+P/R report to BASELINE_RESULTS.md.
+
+Usage: python scripts/differential_report.py [n_entities] [n_classes]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from yago4_spark import terms, vocab
+from yago4_spark.fixtures_large import compute_oracle, generate, statements_df
+from yago4_spark.pipeline import run_pipeline
+from yago4_spark.session import get_spark
+from yago4_spark.sources.statements import StatementsTable
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def pr(got: set, expected: set) -> tuple[float, float]:
+    tp = len(got & expected)
+    return (tp / len(got) if got else 1.0,
+            tp / len(expected) if expected else 1.0)
+
+
+def main() -> None:
+    n_ent = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_cls = int(sys.argv[2]) if len(sys.argv) > 2 else 800
+    base = "/tmp/differential_100k"
+    shutil.rmtree(base, ignore_errors=True)
+    spark = get_spark(app_name="differential-100k")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    gt = generate(n_entities=n_ent, n_classes=n_cls)
+    oracle = compute_oracle(gt)
+    t_gen = time.time() - t0
+    StatementsTable.write(statements_df(spark, gt), f"{base}/statements")
+    t0 = time.time()
+    res = run_pipeline(spark, f"{base}/statements", f"{base}/work", gt.schema)
+    for df in res.outputs.values():
+        df.count()
+    t_pipe = time.time() - t0
+
+    rows = []
+
+    got_uri = {(r["qid"], r["yago"])
+               for r in res.catalog.read("uri_mapping").collect()}
+    rows.append(("uri_mapping", *pr(got_uri, set(oracle.uri.items())),
+                 len(got_uri)))
+    got_cls = {(r["cls"],) for r in res.catalog.read("yago_classes").collect()}
+    rows.append(("yago_classes",
+                 *pr(got_cls, {(c,) for c in oracle.yago_classes}),
+                 len(got_cls)))
+    got_map = {(r["qid"], r["cls"])
+               for r in res.catalog.read("class_mapping").collect()}
+    rows.append(("class_mapping", *pr(got_map, oracle.class_mapping),
+                 len(got_map)))
+    got_sub = {(r["child"], r["parent"])
+               for r in res.catalog.read("sub_class_of").collect()}
+    rows.append(("sub_class_of", *pr(got_sub, oracle.sub_class_of),
+                 len(got_sub)))
+    got_inst = {(r["shape"], r["instance"])
+                for r in res.catalog.read("shape_instances").collect()}
+    exp_inst = {(s, i) for s, insts in oracle.instances.items()
+                for i in insts}
+    rows.append(("shape_instances", *pr(got_inst, exp_inst), len(got_inst)))
+
+    preds = {vocab.SCHEMA + p for p in ("birthDate", "spouse", "url")}
+    got_facts = set()
+    for r in res.outputs["facts"].collect():
+        p_ = r["predicate"]["text"]
+        if p_ in preds:
+            got_facts.add((r["subject"]["text"], p_,
+                           terms.term_to_nt_py(r["object"].asDict())))
+    rows.append(("facts (3 branches)", *pr(got_facts, oracle.facts),
+                 len(got_facts)))
+
+    n_stmt = len(gt.statements)
+    lines = [
+        "",
+        f"## Statistical differential at {n_ent:,} entities "
+        f"(scripts/differential_report.py)",
+        "",
+        f"Seeded synthetic slice: {n_ent:,} entities, {n_cls} classes, "
+        f"{n_stmt:,} statements (hub skew: 20% direct Q5; planted "
+        f"maxCount violations, disjoint memberships, bad/orphan "
+        f"subtrees, sub-threshold classes). Python oracle reimplements "
+        f"the taxonomy 7-step, URI priority, shape instances and 3 "
+        f"facts branches independently of the Spark plans. "
+        f"Pipeline wall: {t_pipe:.0f}s (local[32]); oracle+gen: {t_gen:.0f}s.",
+        "",
+        "| output | precision | recall | spark rows |",
+        "|---|---|---|---|",
+    ]
+    ok = True
+    for name, p_, r_, n in rows:
+        lines.append(f"| {name} | {p_:.4f} | {r_:.4f} | {n:,} |")
+        ok = ok and p_ == 1.0 and r_ == 1.0
+    lines.append("")
+    lines.append(f"All-exact: **{'YES' if ok else 'NO'}**")
+    report = "\n".join(lines) + "\n"
+    print(report)
+    with open(os.path.join(REPO, "BASELINE_RESULTS.md"), "a") as f:
+        f.write(report)
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -77,11 +77,27 @@ spark.stop()
 """
 
 
+def _wait_quiet(max_load: float = 2.0, timeout_s: int = 300) -> None:
+    """Quiet-machine guard: timings on a loaded VM are garbage (orphan
+    JVMs from timed-out runs have produced 2-4x swings)."""
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        with open("/proc/loadavg") as f:
+            load = float(f.read().split()[0])
+        if load < max_load:
+            return
+        time.sleep(10)
+    print(f"warning: load stayed >= {max_load}, measuring anyway")
+
+
 def run_level(cpus: int, sf_dir: str, inflate: int, job: str) -> dict:
+    _wait_quiet()
     code = WORKER.format(repo=REPO)
     out = subprocess.run(
         [sys.executable, "-c", code, str(cpus), sf_dir, str(inflate), job],
-        capture_output=True, text=True, timeout=1200,
+        capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("{"):
@@ -102,9 +118,12 @@ def main() -> None:
     inflate = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     n_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     n4_cores = int(sys.argv[4]) if len(sys.argv) > 4 else n_cores * 4
+    only = sys.argv[5] if len(sys.argv) > 5 else None
     sections = []
     summary = {}
     for job, desc in JOBS.items():
+        if only and job != only:
+            continue
         n = run_level(n_cores, sf_dir, inflate, job)
         n4 = run_level(n4_cores, sf_dir, inflate, job)
         eff = round((n4["docs_per_sec"] / n["docs_per_sec"]) / (n4_cores / n_cores), 3)

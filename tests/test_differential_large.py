@@ -1,0 +1,95 @@
+"""Statistical differential test: the full pipeline on a seeded ~20k-
+entity synthetic slice vs the pure-Python oracle (fixtures_large.py).
+Exact set compare (P/R must be 1.0) for URI mapping, taxonomy, class
+mapping, hierarchy, shape instances, and three facts branches at volume
+— closure depth, instance thresholds, disjoint pruning, hub skew and
+sh:maxCount all active.
+
+The 100k-entity version of the same check runs via
+scripts/differential_report.py (results in BASELINE_RESULTS.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from yago4_spark import terms, vocab
+from yago4_spark.fixtures_large import compute_oracle, generate, statements_df
+from yago4_spark.pipeline import run_pipeline
+from yago4_spark.sources.statements import StatementsTable
+
+N_ENTITIES = int(os.environ.get("SPARK_GRAFT_LARGE_N", "20000"))
+
+
+@pytest.fixture(scope="module")
+def diff(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("large")
+    gt = generate(n_entities=N_ENTITIES, n_classes=400)
+    oracle = compute_oracle(gt)
+    StatementsTable.write(statements_df(spark, gt), str(base / "statements"))
+    res = run_pipeline(
+        spark, str(base / "statements"), str(base / "work"), gt.schema
+    )
+    return gt, oracle, res
+
+
+@pytest.mark.slow
+def test_uri_mapping(diff):
+    _, oracle, res = diff
+    got = {
+        r["qid"]: r["yago"]
+        for r in res.catalog.read("uri_mapping").collect()
+    }
+    assert got == oracle.uri
+
+
+@pytest.mark.slow
+def test_taxonomy(diff):
+    _, oracle, res = diff
+    got_classes = {r["cls"] for r in res.catalog.read("yago_classes").collect()}
+    assert got_classes == oracle.yago_classes
+    got_mapping = {
+        (r["qid"], r["cls"])
+        for r in res.catalog.read("class_mapping").collect()
+    }
+    assert got_mapping == oracle.class_mapping
+    got_sub = {
+        (r["child"], r["parent"])
+        for r in res.catalog.read("sub_class_of").collect()
+    }
+    assert got_sub == oracle.sub_class_of
+
+
+@pytest.mark.slow
+def test_shape_instances(diff):
+    _, oracle, res = diff
+    rows = res.catalog.read("shape_instances").collect()
+    got: dict[str, set] = {}
+    for r in rows:
+        got.setdefault(r["shape"], set()).add(r["instance"])
+    for shape, expected in oracle.instances.items():
+        assert got.get(shape, set()) == expected, shape
+
+
+@pytest.mark.slow
+def test_facts_pr(diff):
+    _, oracle, res = diff
+    preds = {vocab.SCHEMA + p for p in ("birthDate", "spouse", "url")}
+    got = set()
+    for r in res.outputs["facts"].collect():
+        pred = r["predicate"]["text"]
+        if pred in preds:
+            got.add((
+                r["subject"]["text"], pred,
+                terms.term_to_nt_py(r["object"].asDict()),
+            ))
+    tp = len(got & oracle.facts)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(oracle.facts) if oracle.facts else 0.0
+    assert precision == 1.0 and recall == 1.0, (
+        f"P={precision} R={recall} "
+        f"spark-only={sorted(got - oracle.facts)[:3]} "
+        f"oracle-only={sorted(oracle.facts - got)[:3]}"
+    )
