@@ -68,6 +68,24 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         release_all()  # drop operator-internal persists between queries
 
+    # NT ingest throughput (Arrow RE2 kernel): 2M synthetic dump lines
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "scripts"))
+    from bench_ingest import gen_corpus
+    from yago4_spark.sources.ntriples import read_ntriples
+
+    nt_path = "/tmp/bench_ingest_2m.nt"
+    n_lines = 2_000_000
+    if not os.path.exists(nt_path) or os.path.getsize(nt_path) == 0:
+        gen_corpus(nt_path, n_lines)
+    force(read_ntriples(spark, nt_path).limit(1000))  # worker warmup
+    t0 = time.time()
+    force(read_ntriples(spark, nt_path))
+    ingest_sec = time.time() - t0
+    timings["nt_ingest_2m"] = round(ingest_sec, 3)
+
     # graft front-end throughput: documents → candidates → linked mentions
     from yago4_spark.operators.linking import candidate_mentions, link_entities
 
@@ -87,6 +105,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "docs_per_sec": round(n_docs / link_sec, 1),
+        "ingest_lines_per_sec": round(n_lines / ingest_sec, 1),
         "cpus": cpus,
     }))
     spark.stop()

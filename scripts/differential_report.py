@@ -30,15 +30,26 @@ def pr(got: set, expected: set) -> tuple[float, float]:
 
 
 def main() -> None:
-    n_ent = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    n_cls = int(sys.argv[2]) if len(sys.argv) > 2 else 800
+    use_real = "--real" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--real"]
+    n_ent = int(args[0]) if args else 100_000
+    n_cls = int(args[1]) if len(args) > 1 else 800
     base = "/tmp/differential_100k"
     shutil.rmtree(base, ignore_errors=True)
     spark = get_spark(app_name="differential-100k")
     spark.sparkContext.setLogLevel("ERROR")
 
+    schema = None
+    if use_real:
+        from yago4_spark.plans.ttl import load_schema
+
+        ref = "/root/reference/src/data"
+        schema = load_schema(
+            [f"{ref}/{f}" for f in ["schema.ttl", "shapes.ttl",
+                                    "bioschemas.ttl", "shapes-bio.ttl"]],
+            min_instances=10)
     t0 = time.time()
-    gt = generate(n_entities=n_ent, n_classes=n_cls)
+    gt = generate(n_entities=n_ent, n_classes=n_cls, schema=schema)
     oracle = compute_oracle(gt)
     t_gen = time.time() - t0
     StatementsTable.write(statements_df(spark, gt), f"{base}/statements")
@@ -83,10 +94,12 @@ def main() -> None:
                  len(got_facts)))
 
     n_stmt = len(gt.statements)
+    cfg = ("REAL 268-shape reference config" if use_real
+           else "sample_schema (8 shapes)")
     lines = [
         "",
-        f"## Statistical differential at {n_ent:,} entities "
-        f"(scripts/differential_report.py)",
+        f"## Statistical differential at {n_ent:,} entities — {cfg} "
+        f"(scripts/differential_report.py{' --real' if use_real else ''})",
         "",
         f"Seeded synthetic slice: {n_ent:,} entities, {n_cls} classes, "
         f"{n_stmt:,} statements (hub skew: 20% direct Q5; planted "

@@ -73,6 +73,58 @@ def test_shape_instances(diff):
         assert got.get(shape, set()) == expected, shape
 
 
+REF_DATA = "/root/reference/src/data"
+REF_FILES = ["schema.ttl", "shapes.ttl", "bioschemas.ttl", "shapes-bio.ttl"]
+
+
+@pytest.fixture(scope="module")
+def diff_real(spark, tmp_path_factory):
+    """Same differential, driven by the REAL 268-shape reference config."""
+    if not all(os.path.exists(f"{REF_DATA}/{f}") for f in REF_FILES):
+        pytest.skip("reference config not present")
+    from yago4_spark.plans.ttl import load_schema
+
+    schema = load_schema([f"{REF_DATA}/{f}" for f in REF_FILES],
+                         min_instances=10)
+    base = tmp_path_factory.mktemp("large_real")
+    gt = generate(n_entities=2000, n_classes=200, schema=schema)
+    oracle = compute_oracle(gt)
+    StatementsTable.write(statements_df(spark, gt), str(base / "statements"))
+    res = run_pipeline(
+        spark, str(base / "statements"), str(base / "work"), schema
+    )
+    return gt, oracle, res
+
+
+@pytest.mark.slow
+def test_real_config_differential(diff_real):
+    """Full pipeline under the real 268-shape config vs the oracle:
+    URI mapping, taxonomy, all 268 shape-instance sets, and the three
+    generated facts branches must match exactly."""
+    _, oracle, res = diff_real
+    got_uri = {r["qid"]: r["yago"]
+               for r in res.catalog.read("uri_mapping").collect()}
+    assert got_uri == oracle.uri
+    got_cls = {r["cls"] for r in res.catalog.read("yago_classes").collect()}
+    assert got_cls == oracle.yago_classes
+    got_map = {(r["qid"], r["cls"])
+               for r in res.catalog.read("class_mapping").collect()}
+    assert got_map == oracle.class_mapping
+    got_inst: dict[str, set] = {}
+    for r in res.catalog.read("shape_instances").collect():
+        got_inst.setdefault(r["shape"], set()).add(r["instance"])
+    for shape, expected in oracle.instances.items():
+        assert got_inst.get(shape, set()) == expected, shape
+    preds = {vocab.SCHEMA + p for p in ("birthDate", "spouse", "url")}
+    got = set()
+    for r in res.outputs["facts"].collect():
+        pred = r["predicate"]["text"]
+        if pred in preds:
+            got.add((r["subject"]["text"], pred,
+                     terms.term_to_nt_py(r["object"].asDict())))
+    assert got == oracle.facts
+
+
 @pytest.mark.slow
 def test_facts_pr(diff):
     _, oracle, res = diff

@@ -29,22 +29,9 @@ from . import vocab
 from .functions.iri import encode_iri_path_py
 from .plans.shapes import Schema, sample_schema
 
-WDT = "http://www.wikidata.org/prop/direct/P"
-P = "http://www.wikidata.org/prop/P"
-PS = "http://www.wikidata.org/prop/statement/P"
-PSV = "http://www.wikidata.org/prop/statement/value/P"
 ENWIKI = vocab.ENWIKI_ARTICLE_PREFIX
 Y = vocab.YAGO_RESOURCE_PREFIX
 
-# the 5 mapped roots of sample_schema
-ROOT_QIDS = [35120, 5, 618123, 17537576, 43229]
-ROOT_TARGETS = {
-    35120: vocab.SCHEMA_THING,
-    5: vocab.SCHEMA + "Person",
-    618123: vocab.SCHEMA + "Place",
-    17537576: vocab.SCHEMA + "CreativeWork",
-    43229: vocab.SCHEMA + "Organization",
-}
 BAD_ROOT = vocab.WD_BAD_CLASSES[0]
 ORPHAN_ROOT = 9_999_999          # unmapped parent: subtree not kept
 CLS_BASE = 1_000_000
@@ -54,6 +41,7 @@ ENT_BASE = 2_000_000
 @dataclass
 class GroundTruth:
     statements: pd.DataFrame                 # flat statement columns
+    root_targets: dict[int, str]             # fromClass qid -> target IRI
     class_qid: np.ndarray
     class_parents: dict[int, list[int]]      # qid -> parent qids
     class_sitelink: dict[int, str]           # qid -> enwiki title
@@ -69,14 +57,26 @@ class GroundTruth:
 
 
 def generate(n_entities: int = 100_000, n_classes: int = 800,
-             seed: int = 42) -> GroundTruth:
+             seed: int = 42, schema: Schema | None = None) -> GroundTruth:
     rng = np.random.default_rng(seed)
+    schema = schema or sample_schema(10)
+    # fromClass qid -> target class (first shape wins, like the priority-0
+    # URI mapping); works for sample_schema AND the real 268-shape config
+    root_targets: dict[int, str] = {}
+    for ns in schema.node_shapes:
+        for q in ns.from_classes:
+            root_targets.setdefault(q, ns.target_class)
+    root_qids = sorted(root_targets)
+    S = vocab.SCHEMA
+    person_q = schema.node_shape(S + "Person").from_classes[0]
+    work_q = schema.node_shape(S + "CreativeWork").from_classes[0]
+    thing_q = schema.node_shape(S + "Thing").from_classes[0]
 
     # ---- class tree --------------------------------------------------
-    # qids: 5 mapped roots + generated classes + one bad root + orphans
-    cls = [*ROOT_QIDS, BAD_ROOT]
+    # qids: mapped roots + generated classes + one bad root + orphans
+    cls = [*root_qids, BAD_ROOT]
     parents: dict[int, list[int]] = {q: [] for q in cls}
-    parents[BAD_ROOT] = [35120]
+    parents[BAD_ROOT] = [thing_q]
     for i in range(n_classes):
         q = CLS_BASE + i
         if i < 15:                       # orphan subtree: not under a root
@@ -84,9 +84,9 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         elif i < 30:                     # bad subtree
             parents[q] = [BAD_ROOT if i < 20 else CLS_BASE + rng.integers(15, 25)]
         elif i < 40:                     # disjoint victims: Person AND Work
-            parents[q] = [5, 17537576]
+            parents[q] = [person_q, work_q]
         else:                            # normal: under a root or an earlier class
-            pool = ROOT_QIDS + [CLS_BASE + j for j in range(40, i)]
+            pool = root_qids + [CLS_BASE + j for j in range(40, i)]
             parents[q] = [pool[rng.integers(0, len(pool))]]
         cls.append(q)
     class_qid = np.array(cls)
@@ -102,7 +102,7 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
     # ---- entities ----------------------------------------------------
     ent_qid = ENT_BASE + np.arange(n_entities)
     # class assignment: 20% direct Q5 (hub skew), rest zipf over classes
-    gen_classes = class_qid[6:]          # skip roots+bad root for drawing
+    gen_classes = class_qid[len(root_qids) + 1:]   # skip roots + bad root
     ranks = np.arange(1, len(gen_classes) + 1)
     weights = 1.0 / ranks
     weights /= weights.sum()
@@ -110,14 +110,16 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
     is_hub = rng.random(n_entities) < 0.2
     p31: list[tuple[int, int]] = []
     for e, c, hub in zip(ent_qid, gen_classes[choice], is_hub):
-        p31.append((int(e), 5 if hub else int(c)))
+        p31.append((int(e), person_q if hub else int(c)))
     # 5% second membership; 100 planted disjoint-intersection entities
     second = rng.choice(n_entities, size=n_entities // 20, replace=False)
     for idx in second:
         p31.append((int(ent_qid[idx]), int(gen_classes[rng.integers(0, len(gen_classes))])))
     for idx in range(100):
+        # planted disjoint-intersection entities: direct Person AND Work
         e = int(ent_qid[idx])
-        p31.append((e, int(class_qid[36])))   # under Person AND Work
+        p31.append((e, person_q))
+        p31.append((e, work_q))
     p31 = sorted(set(p31))
 
     ent_label = {}
@@ -251,10 +253,12 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         statements["o_lang"] = None
 
     return GroundTruth(
-        statements=statements, class_qid=class_qid, class_parents=parents,
+        statements=statements, root_targets=root_targets,
+        class_qid=class_qid, class_parents=parents,
         class_sitelink=class_sitelink, class_label=class_label,
         ent_qid=ent_qid, p31=p31, ent_label=ent_label,
-        ent_sitelink=ent_sitelink, births=births, spouses=spouses, urls=urls,
+        ent_sitelink=ent_sitelink, births=births, spouses=spouses,
+        urls=urls, schema=schema,
     )
 
 
@@ -398,8 +402,8 @@ def compute_oracle(gt: GroundTruth) -> Oracle:
                  | {ORPHAN_ROOT} | set(vocab.MANDATORY_WD_ITEMS))
     uri: dict[int, str] = {}
     for q in all_items:
-        if q in ROOT_TARGETS and q in from_classes:
-            uri[q] = ROOT_TARGETS[q]
+        if q in from_classes:
+            uri[q] = gt.root_targets[q]
         elif q in sitelinks:
             uri[q] = Y + encode_iri_path_py(sitelinks[q])
         elif q in labels_en:

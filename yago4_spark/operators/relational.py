@@ -26,7 +26,10 @@ def priority_union(frames: list[DataFrame], key: str) -> DataFrame:
     allf = tagged[0]
     for df in tagged[1:]:
         allf = allf.unionByName(df)
-    w = Window.partitionBy(key).orderBy("_prio")
+    # value columns break ties WITHIN a priority tier (a key duplicated
+    # inside one frame would otherwise pick nondeterministically)
+    value_cols = [c for c in allf.columns if c not in (key, "_prio")]
+    w = Window.partitionBy(key).orderBy("_prio", *value_cols)
     return (
         allf.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
