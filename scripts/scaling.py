@@ -61,6 +61,14 @@ n_docs = big.count()
 if job_name == "linking":
     dic = em._dict_df(spark)
     job = link_entities(candidate_mentions(big, dic))
+elif job_name == "text_stats":
+    from yago4_spark.functions.text import (fingerprint, lang_id,
+                                            mean_word_length, token_count)
+    job = big.select(
+        "doc_id", token_count(F.col("text")).alias("n"),
+        lang_id(F.col("text")).alias("lang"),
+        mean_word_length(F.col("text")).alias("mwl"),
+        fingerprint(F.col("text")).alias("fp"))
 else:
     job = minhash_signatures(big.select("doc_id", "text"), num_hashes=16)
 job.write.format("noop").mode("overwrite").save()   # warm-up
@@ -107,9 +115,11 @@ def run_level(cpus: int, sf_dir: str, inflate: int, job: str) -> dict:
 
 JOBS = {
     "dedup_minhash": "MinHash signature computation (shingle → 16 md5 "
-                     "minhashes, hash-agg) — compute-dense pipeline stage",
+                     "minhashes, hash-agg) — shuffle-heavy pipeline stage",
     "linking": "document linking pipeline (n-gram candidates → broadcast "
                "dict join → hash-agg disambiguation → containment pruning)",
+    "text_stats": "map-only text analysis (token count, lang-ID, "
+                  "fingerprint) — no shuffle, the compute-bound proxy",
 }
 
 
@@ -157,6 +167,10 @@ throttling (a raw multiprocessing probe caps 8→32 aggregate scaling at
 additionally cache-locality-sensitive at low core counts, which is why
 its efficiency trails the compute-dense dedup stage.
 """
+    if only:
+        # single-job runs print only — BENCH_SCALING.md is the composed
+        # all-jobs + raw-ceiling report, don't clobber it
+        return
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write("# BENCH_SCALING — N vs 4N parallelism evidence\n"
                 + preamble + "\n".join(sections))

@@ -44,6 +44,46 @@ class StatementsTable:
             )
         df.write.mode("overwrite").partitionBy("predicate_key").parquet(path)
 
+    @staticmethod
+    def stmt_key_col() -> F.Column:
+        """The statement-node identity of a row: entity→statement rows
+        (p:P…) carry the statement node as OBJECT; statement→value rows
+        (ps:/psv:/pq:/pqv:/rdf:type on statement nodes) carry it as
+        SUBJECT. Bucketing on this single column co-locates each
+        statement's whole group, so every statement-identity join in the
+        facts pipeline becomes a storage-partitioned (shuffle-free)
+        join."""
+        return F.when(
+            F.col("predicate_key").startswith("p:P"), F.col("object.text")
+        ).otherwise(F.col("subject.text"))
+
+    @staticmethod
+    def write_bucketed(df: DataFrame, table: str, n_buckets: int = 32) -> None:
+        """Bulk-load into a bucketed table: partitioned by predicate_key
+        (prefix-seek scans), bucketed+sorted by ``stmt_key`` (statement
+        identity — see :meth:`stmt_key_col`). At 100 TB the facts
+        pipeline's subject↔statement↔value joins shuffle the full
+        statement stream on stmt_key; pre-bucketing pays that shuffle
+        once at load. The Iceberg equivalent is
+        ``bucket(n, stmt_key)`` as a partition transform."""
+        if "predicate_key" not in df.columns:
+            df = df.withColumn(
+                "predicate_key", terms.predicate_key_col(F.col("predicate"))
+            )
+        (df.withColumn("stmt_key", StatementsTable.stmt_key_col())
+           .write.mode("overwrite")
+           .partitionBy("predicate_key")
+           .bucketBy(n_buckets, "stmt_key")
+           .sortBy("stmt_key")
+           .format("parquet")
+           .saveAsTable(table))
+
+    @classmethod
+    def from_table(cls, spark: SparkSession, table: str) -> "StatementsTable":
+        st = cls(spark, path="")
+        st._df = spark.table(table)
+        return st
+
     def df(self) -> DataFrame:
         if self._df is None:
             self._df = self.spark.read.parquet(self.path)
@@ -55,6 +95,18 @@ class StatementsTable:
             self.df()
             .where(F.col("predicate_key") == predicate_key)
             .select("subject", "object")
+        )
+
+    def scan_stmt(self, predicate_keys: list[str]) -> DataFrame:
+        """(stmt_key, predicate_key, subject, object) from a bucketed
+        table (:meth:`write_bucketed`): joins on ``stmt_key`` between two
+        such scans are storage-partitioned — no Exchange."""
+        assert "stmt_key" in self.df().columns, (
+            "scan_stmt requires a write_bucketed table")
+        return (
+            self.df()
+            .where(F.col("predicate_key").isin(predicate_keys))
+            .select("stmt_key", "predicate_key", "subject", "object")
         )
 
     def scan_many(self, predicate_keys: list[str]) -> DataFrame:
