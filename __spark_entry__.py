@@ -229,6 +229,14 @@ def q_events_hourly(spark, sf):
 
 # --- training-data ops ------------------------------------------------
 
+def q_events_sessions(spark, sf):
+    """§2.10 session windows (gaps-and-islands batch twin of the
+    applyInPandasWithState streaming operator, streaming/sessions.py)."""
+    from yago4_spark.streaming.sessions import sessionize_events
+
+    return sessionize_events(_t(spark, sf, "events"), gap_minutes=60)
+
+
 def q_doc_text_stats(spark, sf):
     from yago4_spark.functions.text import (
         fingerprint,
@@ -377,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_custkey_tree": q_closure_custkey_tree,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,
         "dedup_exact": q_dedup_exact,
@@ -502,6 +511,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH marked AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts > lag(ts) OVER w + INTERVAL 3600 SECONDS
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT *, sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, sid
         """,
         "doc_text_stats": r"""
             SELECT doc_id,
