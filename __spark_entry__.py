@@ -366,7 +366,8 @@ def q_mention_candidates(spark, sf):
     return (
         cands.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("doc_id", "token_start", "ngram_len", "surface", "qid",
+        .select("doc_id", "token_start", "ngram_len", "char_start",
+                "char_end", "surface", "qid",
                 F.round("score", 6).alias("score"))
     )
 
@@ -691,18 +692,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), grams AS (
                 SELECT doc_id, i - 1 AS token_start, n AS ngram_len,
+                       CASE WHEN i = 1 THEN 0
+                            ELSE length(array_to_string(a[1:i-1], ' ')) + 1
+                       END AS char_start,
                        array_to_string(a[i:i+n-1], ' ') AS surface
                 FROM toks,
                      LATERAL (SELECT unnest(generate_series(1, len(a))) AS i),
                      LATERAL (SELECT unnest([1, 2]) AS n)
                 WHERE i + n - 1 <= len(a)
             ), cands AS (
-                SELECT g.doc_id, g.token_start, g.ngram_len, g.surface, d.qid,
+                SELECT g.doc_id, g.token_start, g.ngram_len, g.char_start,
+                       g.char_start + length(g.surface) AS char_end,
+                       g.surface, d.qid,
                        CASE WHEN g.surface = d.surface THEN d.score
                             ELSE d.score * 0.9 END AS score
                 FROM grams g JOIN dict d ON lower(g.surface) = lower(d.surface)
             )
-            SELECT doc_id, token_start, ngram_len, surface, qid,
+            SELECT doc_id, token_start, ngram_len, char_start, char_end,
+                   surface, qid,
                    CAST(round(score, 6) AS DOUBLE) AS score
             FROM (SELECT *, row_number() OVER (
                       PARTITION BY doc_id, token_start, ngram_len

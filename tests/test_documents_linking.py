@@ -138,3 +138,22 @@ def test_mentions_to_statements(spark, dictionary):
     assert row["subject"]["text"] == "http://yago-knowledge.org/document/d9"
     assert row["object"]["kind"] == "item" and row["object"]["num"] == 64
     assert row["predicate_key"] == "iri:http:__schema.org_mentions"
+
+
+def test_mention_char_offsets(spark, docs, dictionary):
+    """Span-level provenance: substring(span_text, char_start, char_end)
+    must reproduce every linked mention's surface exactly."""
+    spans = exploded_text_spans(docs)
+    linked = extract_and_link(docs, dictionary)
+    joined = linked.join(
+        spans.select("doc_id", "span_idx", "offset", "text"),
+        ["doc_id", "span_idx"],
+    ).select(
+        "surface", "char_start", "char_end",
+        F.expr("substring(text, char_start - offset + 1, "
+               "char_end - char_start)").alias("cut"),
+    )
+    rows = joined.collect()
+    assert rows
+    bad = [r for r in rows if r["cut"] != r["surface"]]
+    assert not bad, bad[:3]

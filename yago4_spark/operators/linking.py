@@ -45,15 +45,29 @@ def candidate_mentions(text_spans: DataFrame, dictionary: DataFrame,
     deterministic rule for the fixture's case-variant coverage).
     """
     tokens = text_spans.select(
-        "doc_id", "span_idx",
+        "doc_id", "span_idx", "offset",
         F.split(F.col("text"), " ").alias("toks"),
+    ).withColumn(
+        # char position of each token within the span, one linear fold
+        # (span-level provenance: emitted mentions carry char offsets)
+        "tok_pos",
+        F.expr(
+            "aggregate(toks, "
+            "struct(0 as acc, cast(array() as array<int>) as ps), "
+            "(s, x) -> struct(cast(s.acc + length(x) + 1 as int), "
+            "                 array_append(s.ps, s.acc)), "
+            "s -> s.ps)"
+        ),
     )
     # n-grams via slice: one row per (start, len<=max_ngram)
     ngrams = tokens.select(
-        "doc_id", "span_idx", "toks",
+        "doc_id", "span_idx", "offset", "tok_pos", "toks",
         F.posexplode(F.col("toks")).alias("token_start", "_tok"),
     ).select(
         "doc_id", "span_idx", "token_start",
+        (F.col("offset")
+         + F.element_at(F.col("tok_pos"), F.col("token_start") + 1)
+         ).alias("char_start"),
         F.explode(
             F.expr(
                 f"transform(sequence(1, {max_ngram}), "
@@ -65,7 +79,7 @@ def candidate_mentions(text_spans: DataFrame, dictionary: DataFrame,
     ).where(
         F.col("g.ngram_len") <= F.col("g.remaining")
     ).select(
-        "doc_id", "span_idx", "token_start",
+        "doc_id", "span_idx", "token_start", "char_start",
         F.col("g.ngram_len").alias("ngram_len"),
         F.col("g.surface_text").alias("surface_text"),
     )
@@ -82,6 +96,9 @@ def candidate_mentions(text_spans: DataFrame, dictionary: DataFrame,
     )
     return joined.select(
         "doc_id", "span_idx", "token_start", "ngram_len",
+        "char_start",
+        (F.col("char_start") + F.length(F.col("surface_text")))
+        .alias("char_end"),
         F.col("surface_text").alias("surface"),
         "qid",
         F.when(F.col("surface_text") == F.col("dict_surface"), F.col("score"))
@@ -119,7 +136,8 @@ def link_entities(candidates: DataFrame) -> DataFrame:
     longest = (
         candidates.groupBy("doc_id", "span_idx", "token_start")
         .agg(
-            F.max_by(F.struct("ngram_len", "surface", "qid", "score"),
+            F.max_by(F.struct("ngram_len", "surface", "qid", "score",
+                              "char_start", "char_end"),
                      ordering).alias("m")
         )
         .select(
@@ -128,6 +146,8 @@ def link_entities(candidates: DataFrame) -> DataFrame:
             F.col("m.surface").alias("surface"),
             F.col("m.qid").alias("qid"),
             F.col("m.score").alias("score"),
+            F.col("m.char_start").alias("char_start"),
+            F.col("m.char_end").alias("char_end"),
         )
     )
     # containment pruning: a mention starting inside a longer mention to
