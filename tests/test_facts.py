@@ -127,3 +127,43 @@ def test_annotated_facts_golden(facts_result):
             f"<{S}startDate>", lit("1991-11-25", X + "date"),
         )
     }
+
+
+def test_unique_lang_enforcement(spark, tmp_path):
+    """sh:uniqueLang opt-in: the reference parses it but never enforces
+    (documented gap); enforcement keeps one deterministic value per
+    (subject, predicate, lang)."""
+    from yago4_spark import terms, vocab
+    from yago4_spark.plans.outputs import build_simple_properties
+    from yago4_spark.plans.shapes import sample_schema
+    from yago4_spark.sources.statements import StatementsTable
+    from pyspark.sql import functions as F
+
+    rows = [
+        (terms.item(1), terms.iri(vocab.SKOS_PREF_LABEL),
+         terms.lang_string("Beta", "en")),
+        (terms.item(1), terms.iri(vocab.SKOS_PREF_LABEL),
+         terms.lang_string("Alpha", "en")),
+        (terms.item(1), terms.iri(vocab.SKOS_PREF_LABEL),
+         terms.lang_string("Gamma", "fr")),
+        (terms.item(1), terms.iri(vocab.RDF_TYPE),
+         terms.iri(vocab.WIKIBASE_ITEM)),
+    ]
+    df = spark.createDataFrame(rows, "subject struct<kind:string,text:string,num:bigint,dbl:double,lang:string,datatype:string>, predicate struct<kind:string,text:string,num:bigint,dbl:double,lang:string,datatype:string>, object struct<kind:string,text:string,num:bigint,dbl:double,lang:string,datatype:string>")
+    path = str(tmp_path / "ul_statements")
+    StatementsTable.write(df, path)
+    st = StatementsTable(spark, path)
+    schema = sample_schema(min_instances=1)
+    uri = spark.createDataFrame([(1, "http://y/E1")], "qid long, yago string")
+    inst = spark.createDataFrame(
+        [(vocab.SCHEMA_THING, "http://y/E1")], "shape string, instance string")
+
+    plain = build_simple_properties(
+        st, schema, inst, uri, (vocab.RDFS_LABEL,))
+    assert plain.count() == 3  # both @en labels survive (reference parity)
+
+    enforced = build_simple_properties(
+        st, schema, inst, uri, (vocab.RDFS_LABEL,), enforce_unique_lang=True)
+    got = {(r["object"]["lang"], r["object"]["text"])
+           for r in enforced.collect()}
+    assert got == {("en", "Alpha"), ("fr", "Gamma")}

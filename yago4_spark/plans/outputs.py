@@ -117,9 +117,15 @@ def build_simple_properties(
     shape_instances: DataFrame,
     uri_mapping: DataFrame,
     properties: tuple[str, ...],
+    enforce_unique_lang: bool = False,
 ) -> DataFrame:
     """The labels output: direct-predicate property shapes filtered by
-    datatype and domain (src/plan.rs:818-892)."""
+    datatype and domain (src/plan.rs:818-892).
+
+    ``enforce_unique_lang``: the reference PARSES sh:uniqueLang but never
+    enforces it (a documented gap); opt-in here keeps one deterministic
+    value (min by text) per (subject, predicate, language) for shapes
+    declaring it. Off by default to preserve reference-output parity."""
     frames = []
     for shape in schema.property_shapes:
         if shape.path not in properties or not shape.from_predicates:
@@ -138,6 +144,16 @@ def build_simple_properties(
                 F.col("o").alias("object"),
             )
         )
+        if enforce_unique_lang and shape.is_unique_lang:
+            mapped = (
+                mapped.groupBy(
+                    F.col("subject"), F.col("predicate"),
+                    F.col("object.lang").alias("_lang"),
+                )
+                .agg(F.min_by(F.col("object"), F.col("object.text"))
+                     .alias("object"))
+                .drop("_lang")
+            )
         frames.append(mapped)
     out = frames[0]
     for f in frames[1:]:
