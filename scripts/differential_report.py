@@ -83,15 +83,25 @@ def main() -> None:
                 for i in insts}
     rows.append(("shape_instances", *pr(got_inst, exp_inst), len(got_inst)))
 
-    preds = {vocab.SCHEMA + p for p in ("birthDate", "spouse", "url")}
+    preds = {p_ for (_, p_, _) in oracle.facts}
     got_facts = set()
     for r in res.outputs["facts"].collect():
         p_ = r["predicate"]["text"]
         if p_ in preds:
             got_facts.add((r["subject"]["text"], p_,
                            terms.term_to_nt_py(r["object"].asDict())))
-    rows.append(("facts (3 branches)", *pr(got_facts, oracle.facts),
+    rows.append(("facts (7 branches + sides)", *pr(got_facts, oracle.facts),
                  len(got_facts)))
+    got_ann = set()
+    for r in res.outputs["annotated_facts"].collect():
+        if r["annotation_predicate"] is None:
+            continue
+        got_ann.add((r["subject"]["text"], r["predicate"]["text"],
+                     terms.term_to_nt_py(r["object"].asDict()),
+                     r["annotation_predicate"]["text"],
+                     terms.term_to_nt_py(r["annotation_object"].asDict())))
+    rows.append(("annotated_facts (RDF★)", *pr(got_ann, oracle.annotated),
+                 len(got_ann)))
 
     n_stmt = len(gt.statements)
     cfg = ("REAL 268-shape reference config" if use_real

@@ -115,20 +115,15 @@ def test_real_config_differential(diff_real):
         got_inst.setdefault(r["shape"], set()).add(r["instance"])
     for shape, expected in oracle.instances.items():
         assert got_inst.get(shape, set()) == expected, shape
-    preds = {vocab.SCHEMA + p for p in ("birthDate", "spouse", "url")}
-    got = set()
-    for r in res.outputs["facts"].collect():
-        pred = r["predicate"]["text"]
-        if pred in preds:
-            got.add((r["subject"]["text"], pred,
-                     terms.term_to_nt_py(r["object"].asDict())))
-    assert got == oracle.facts
+    got = _collect_facts(res, oracle)
+    assert got == oracle.facts, (
+        f"spark-only={sorted(got - oracle.facts)[:3]} "
+        f"oracle-only={sorted(oracle.facts - got)[:3]}")
+    assert _collect_annotated(res) == oracle.annotated
 
 
-@pytest.mark.slow
-def test_facts_pr(diff):
-    _, oracle, res = diff
-    preds = {vocab.SCHEMA + p for p in ("birthDate", "spouse", "url")}
+def _collect_facts(res, oracle):
+    preds = {p for (_, p, _) in oracle.facts}
     got = set()
     for r in res.outputs["facts"].collect():
         pred = r["predicate"]["text"]
@@ -137,6 +132,29 @@ def test_facts_pr(diff):
                 r["subject"]["text"], pred,
                 terms.term_to_nt_py(r["object"].asDict()),
             ))
+    return got
+
+
+def _collect_annotated(res):
+    got = set()
+    for r in res.outputs["annotated_facts"].collect():
+        if r["annotation_predicate"] is None:
+            continue
+        got.add((
+            r["subject"]["text"], r["predicate"]["text"],
+            terms.term_to_nt_py(r["object"].asDict()),
+            r["annotation_predicate"]["text"],
+            terms.term_to_nt_py(r["annotation_object"].asDict()),
+        ))
+    return got
+
+
+@pytest.mark.slow
+def test_facts_pr(diff):
+    """All 7 generated dispatch branches (dates, object-range, anyURI,
+    geo+sides, integer, duration, full quantity+sides) at volume."""
+    _, oracle, res = diff
+    got = _collect_facts(res, oracle)
     tp = len(got & oracle.facts)
     precision = tp / len(got) if got else 0.0
     recall = tp / len(oracle.facts) if oracle.facts else 0.0
@@ -145,3 +163,14 @@ def test_facts_pr(diff):
         f"spark-only={sorted(got - oracle.facts)[:3]} "
         f"oracle-only={sorted(oracle.facts - got)[:3]}"
     )
+
+
+@pytest.mark.slow
+def test_annotated_facts(diff):
+    """RDF★: start-date qualifiers attach to exactly the surviving
+    spouse facts."""
+    _, oracle, res = diff
+    got = _collect_annotated(res)
+    assert got == oracle.annotated, (
+        f"spark-only={sorted(got - oracle.annotated)[:3]} "
+        f"oracle-only={sorted(oracle.annotated - got)[:3]}")

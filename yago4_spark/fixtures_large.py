@@ -53,6 +53,11 @@ class GroundTruth:
     births: dict[int, list[str]]             # ent -> best-rank date lexicals
     spouses: list[tuple[int, int]]
     urls: dict[int, str]
+    geos: dict[int, tuple]                    # ent -> (lat, lng, prec, globe)
+    pages: dict[int, tuple]                   # ent -> (amount str, unit qid)
+    durations: dict[int, tuple]               # ent -> (amount str, unit qid)
+    weights: dict[int, tuple]                 # ent -> (amt, lo, up, unit qid)
+    spouse_quals: dict[tuple[int, int], str]  # (a,b) -> start-date lexical
     schema: Schema = field(default_factory=lambda: sample_schema(10))
 
 
@@ -101,10 +106,12 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
 
     # ---- entities ----------------------------------------------------
     ent_qid = ENT_BASE + np.arange(n_entities)
-    # class assignment: 20% direct Q5 (hub skew), rest zipf over classes
+    # class assignment: 20% direct Q5 (hub skew), rest zipf over classes —
+    # zipf ranks PERMUTED so the heavy mass doesn't all land on the
+    # planted orphan/bad/disjoint classes (generated first)
     gen_classes = class_qid[len(root_qids) + 1:]   # skip roots + bad root
     ranks = np.arange(1, len(gen_classes) + 1)
-    weights = 1.0 / ranks
+    weights = rng.permutation(1.0 / ranks)
     weights /= weights.sum()
     choice = rng.choice(len(gen_classes), size=n_entities, p=weights)
     is_hub = rng.random(n_entities) < 0.2
@@ -156,15 +163,78 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         urls[e] = (f"https://example.org/e{e}" if rng.random() < 0.9
                    else "http://[bad")
 
+    # target the value branches at entities under the right subtree
+    # (plus random negatives the domain filter must drop)
+    subtree_children: dict[int, list[int]] = {}
+    for c, ps_ in parents.items():
+        for p_ in ps_:
+            subtree_children.setdefault(p_, []).append(c)
+
+    def _desc(root: int) -> set[int]:
+        seen = {root}
+        todo = [root]
+        while todo:
+            x = todo.pop()
+            for c in subtree_children.get(x, []):
+                if c not in seen:
+                    seen.add(c)
+                    todo.append(c)
+        return seen
+
+    place_q = schema.node_shape(S + "Place").from_classes[0]
+    ents_under = {
+        root: [e for e, c in p31 if c in _desc(root)]
+        for root in (place_q, work_q, person_q)
+    }
+
+    def branch_sample(root: int, k: int) -> list[int]:
+        pool = ents_under[root]
+        take = [int(x) for x in
+                rng.choice(pool, size=min(k, len(pool)), replace=False)]
+        extra = [int(ent_qid[i]) for i in
+                 rng.choice(n_entities, size=max(k // 4, 2), replace=False)]
+        return sorted(set(take + extra))
+
+    # geo coordinates (psv value nodes; ~10% on a non-Earth globe → drop)
+    geos = {}
+    for e in branch_sample(place_q, n_entities // 40):
+        geos[e] = (round(float(rng.uniform(-85, 85)), 4),
+                   round(float(rng.uniform(-179, 179)), 4),
+                   0.01,
+                   vocab.Q_EARTH if rng.random() < 0.9 else 111)
+    # integer quantities (wrong unit → drop), durations, full quantities
+    pages = {}
+    for e in branch_sample(work_q, n_entities // 40):
+        pages[e] = (f"+{int(rng.integers(50, 900))}",
+                    vocab.Q_UNIT_ONE if rng.random() < 0.9 else vocab.Q_SECOND)
+    durations = {}
+    for e in branch_sample(work_q, n_entities // 40):
+        durations[e] = (f"+{int(rng.integers(10, 9000))}",
+                        vocab.Q_SECOND if rng.random() < 0.7 else vocab.Q_DAY)
+    weights = {}
+    for e in branch_sample(person_q, n_entities // 40):
+        amt = int(rng.integers(40, 200))
+        unit = int(ent_qid[rng.integers(0, n_entities)])  # any mapped item
+        if rng.random() < 0.8:
+            weights[e] = (f"+{amt}.5", f"+{amt}", f"+{amt + 1}", unit)
+        else:
+            weights[e] = (f"+{amt}.5", None, None, unit)  # no bounds → drop
+    # start-date qualifiers on ~30% of spouse statements (RDF★ path)
+    spouse_quals = {}
+    for a, b in spouses:
+        if rng.random() < 0.3:
+            y = rng.integers(1950, 2020)
+            spouse_quals[(a, b)] = f"{y:04d}-06-15T00:00:00+00:00"
+
     # ---- statements (flat columns) -------------------------------------
     frames: list[pd.DataFrame] = []
 
     def flat(pk, s_kind, s_text, s_num, o_kind, o_text, o_num,
-             o_lang=None):
+             o_lang=None, o_dbl=None):
         frames.append(pd.DataFrame({
             "pk": pk, "s_kind": s_kind, "s_text": s_text, "s_num": s_num,
             "o_kind": o_kind, "o_text": o_text, "o_num": o_num,
-            "o_lang": o_lang,
+            "o_lang": o_lang, "o_dbl": o_dbl,
         }))
 
     all_items = sorted(
@@ -248,9 +318,79 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
          "iri", vocab.WIKIBASE_BEST_RANK, None)
     flat("ps:P856", "blank", u_node, None, "iri", u_val, None)
 
+    # geo chains: p:P625 + BestRank + psv:P625 → blank value node with
+    # lat/lng/prec doubles and a globe item
+    g_subj = list(geos.keys())
+    g_node = [f"sg{e}" for e in g_subj]
+    g_val = [f"vg{e}" for e in g_subj]
+    flat("p:P625", "item", None, pd.Series(g_subj, dtype="int64"),
+         "blank", g_node, None)
+    flat("rdf:type", "blank", g_node, None,
+         "iri", vocab.WIKIBASE_BEST_RANK, None)
+    flat("psv:P625", "blank", g_node, None, "blank", g_val, None)
+    flat("wikibase:geoLatitude", "blank", g_val, None, "double", None, None,
+         o_dbl=[geos[e][0] for e in g_subj])
+    flat("wikibase:geoLongitude", "blank", g_val, None, "double", None, None,
+         o_dbl=[geos[e][1] for e in g_subj])
+    flat("wikibase:geoPrecision", "blank", g_val, None, "double", None, None,
+         o_dbl=[geos[e][2] for e in g_subj])
+    flat("wikibase:geoGlobe", "blank", g_val, None, "item", None,
+         pd.Series([geos[e][3] for e in g_subj], dtype="int64"))
+
+    # quantity chains (integer pages, durations, full quantities): value
+    # nodes are wdv: IRIs with amount/unit (+bounds for full quantities)
+    def quantity_chain(pk_p, pk_psv, subj, tag, amounts, units,
+                       lowers=None, uppers=None):
+        node = [f"s{tag}{e}" for e in subj]
+        val = [f"http://www.wikidata.org/value/V{tag}{e}" for e in subj]
+        flat(pk_p, "item", None, pd.Series(subj, dtype="int64"),
+             "blank", node, None)
+        flat("rdf:type", "blank", node, None,
+             "iri", vocab.WIKIBASE_BEST_RANK, None)
+        flat(pk_psv, "blank", node, None, "iri", val, None)
+        flat("wikibase:quantityAmount", "iri", val, None,
+             "decimal", amounts, None)
+        flat("wikibase:quantityUnit", "iri", val, None, "item", None,
+             pd.Series(units, dtype="int64"))
+        if lowers is not None:
+            mask = [lo is not None for lo in lowers]
+            v2 = [v for v, m in zip(val, mask) if m]
+            flat("wikibase:quantityLowerBound", "iri", v2, None, "decimal",
+                 [lo for lo in lowers if lo is not None], None)
+            flat("wikibase:quantityUpperBound", "iri", v2, None, "decimal",
+                 [u for u, m in zip(uppers, mask) if m], None)
+
+    pg = list(pages.keys())
+    quantity_chain("p:P1104", "psv:P1104", pg, "p",
+                   [pages[e][0] for e in pg], [pages[e][1] for e in pg])
+    du = list(durations.keys())
+    quantity_chain("p:P2047", "psv:P2047", du, "d",
+                   [durations[e][0] for e in du],
+                   [durations[e][1] for e in du])
+    wt = list(weights.keys())
+    quantity_chain("p:P2067", "psv:P2067", wt, "w",
+                   [weights[e][0] for e in wt],
+                   [weights[e][3] for e in wt],
+                   lowers=[weights[e][1] for e in wt],
+                   uppers=[weights[e][2] for e in wt])
+
+    # spouse start-date qualifiers (pqv:P580 → time value nodes)
+    if spouse_quals:
+        qs = list(spouse_quals.keys())
+        q_node = [f"ss{a}_{b}" for a, b in qs]
+        q_val = [f"vq{a}_{b}" for a, b in qs]
+        flat("pqv:P580", "blank", q_node, None, "blank", q_val, None)
+        flat("wikibase:timeValue", "blank", q_val, None, "dateTime",
+             [spouse_quals[k] for k in qs], None)
+        flat("wikibase:timePrecision", "blank", q_val, None, "integer", None,
+             pd.Series([11] * len(qs), dtype="int64"))
+        flat("wikibase:timeCalendarModel", "blank", q_val, None, "item", None,
+             pd.Series([vocab.Q_PROLEPTIC_GREGORIAN] * len(qs), dtype="int64"))
+
     statements = pd.concat(frames, ignore_index=True)
-    if "o_lang" not in statements:
-        statements["o_lang"] = None
+    for col in ("o_lang", "o_dbl"):
+        if col not in statements:
+            statements[col] = None
 
     return GroundTruth(
         statements=statements, root_targets=root_targets,
@@ -258,7 +398,8 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         class_sitelink=class_sitelink, class_label=class_label,
         ent_qid=ent_qid, p31=p31, ent_label=ent_label,
         ent_sitelink=ent_sitelink, births=births, spouses=spouses,
-        urls=urls, schema=schema,
+        urls=urls, geos=geos, pages=pages, durations=durations,
+        weights=weights, spouse_quals=spouse_quals, schema=schema,
     )
 
 
@@ -271,6 +412,8 @@ def statements_df(spark: SparkSession, gt: GroundTruth) -> DataFrame:
         "p": "http://www.wikidata.org/prop/P",
         "ps": "http://www.wikidata.org/prop/statement/P",
         "psv": "http://www.wikidata.org/prop/statement/value/P",
+        "pq": "http://www.wikidata.org/prop/qualifier/P",
+        "pqv": "http://www.wikidata.org/prop/qualifier/value/P",
     }
     pk = F.col("pk")
     short = F.split(pk, ":").getItem(0)
@@ -285,6 +428,14 @@ def statements_df(spark: SparkSession, gt: GroundTruth) -> DataFrame:
         "wikibase:timeValue": vocab.WIKIBASE_TIME_VALUE,
         "wikibase:timePrecision": vocab.WIKIBASE_TIME_PRECISION,
         "wikibase:timeCalendarModel": vocab.WIKIBASE_TIME_CALENDAR_MODEL,
+        "wikibase:geoLatitude": vocab.WIKIBASE_GEO_LATITUDE,
+        "wikibase:geoLongitude": vocab.WIKIBASE_GEO_LONGITUDE,
+        "wikibase:geoPrecision": vocab.WIKIBASE_GEO_PRECISION,
+        "wikibase:geoGlobe": vocab.WIKIBASE_GEO_GLOBE,
+        "wikibase:quantityAmount": vocab.WIKIBASE_QUANTITY_AMOUNT,
+        "wikibase:quantityUnit": vocab.WIKIBASE_QUANTITY_UNIT,
+        "wikibase:quantityLowerBound": vocab.WIKIBASE_QUANTITY_LOWER_BOUND,
+        "wikibase:quantityUpperBound": vocab.WIKIBASE_QUANTITY_UPPER_BOUND,
     }
     pred_iri = F.lit(None).cast("string")
     for k, full in iri_key.items():
@@ -293,10 +444,11 @@ def statements_df(spark: SparkSession, gt: GroundTruth) -> DataFrame:
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("long")
 
-    def term(kind, text, num, lang=None):
+    def term(kind, text, num, lang=None, dbl=None):
         return F.struct(
             kind.alias("kind"), text.alias("text"), num.alias("num"),
-            F.lit(None).cast("double").alias("dbl"),
+            (dbl if dbl is not None
+             else F.lit(None).cast("double")).alias("dbl"),
             (lang if lang is not None else null_s).alias("lang"),
             null_s.alias("datatype"),
         )
@@ -318,7 +470,8 @@ def statements_df(spark: SparkSession, gt: GroundTruth) -> DataFrame:
                     F.concat(F.lit("_:"), F.col("o_text")))
              .otherwise(F.col("o_text")),
              F.col("o_num").cast("long"),
-             lang=F.col("o_lang")).alias("object"),
+             lang=F.col("o_lang"),
+             dbl=F.col("o_dbl").cast("double")).alias("object"),
         F.col("pk").alias("predicate_key"),
     )
     return out
@@ -337,6 +490,7 @@ class Oracle:
     sub_class_of: set[tuple[str, str]]
     instances: dict[str, set[str]]           # shape target → entity URIs
     facts: set[tuple[str, str, str]]         # (s_uri, pred, obj repr)
+    annotated: set[tuple]                    # (s, p, o, ann_p, ann_o)
 
 
 def compute_oracle(gt: GroundTruth) -> Oracle:
@@ -489,24 +643,113 @@ def compute_oracle(gt: GroundTruth) -> Oracle:
     for k in instances:
         instances[k] -= removed
 
-    # --- facts (birthDate dates branch, spouse object branch, url anyURI) --
+    # --- facts: every generated branch, shape-driven so the real config
+    # works too (a PID may be mapped by several shapes; each shape has
+    # its own parent-domain filter and dispatch branch) ----------------
+    from .functions.values import round_degrees
+    from .terms import format_f64
+
     S = vocab.SCHEMA
     facts: set[tuple[str, str, str]] = set()
-    person = instances[S + "Person"]
-    thing = instances[S + "Thing"]
-    for e, dates in gt.births.items():
-        if uri[e] not in person or len(dates) > 1:
-            continue  # domain filter / sh:maxCount 1 group drop
-        lex = dates[0][:10]  # precision 11 → xsd:date
-        facts.add((uri[e], S + "birthDate",
-                   f'"{lex}"^^<{vocab.XSD_DATE}>'))
-    for a, b in gt.spouses:
-        if uri[a] in person and uri[b] in person:
-            facts.add((uri[a], S + "spouse", f"<{uri[b]}>"))
-    for e, u in gt.urls.items():
-        if uri[e] not in thing or u == "http://[bad":
+    by_pid: dict[int, list] = {}
+    for ps in schema.property_shapes:
+        for pid in ps.from_properties:
+            by_pid.setdefault(pid, []).append(ps)
+    date_dts = sorted([vocab.XSD_DATE, vocab.XSD_DATE_TIME,
+                       vocab.XSD_G_YEAR, vocab.XSD_G_YEAR_MONTH])
+
+    def dom(ps):
+        return instances.get(ps.parent_shape, set())
+
+    for ps in by_pid.get(569, []):
+        if sorted(ps.datatypes) != date_dts:
             continue
-        facts.add((uri[e], S + "url", f'"{u}"^^<{vocab.XSD_ANY_URI}>'))
+        for e, dates in gt.births.items():
+            if uri[e] not in dom(ps):
+                continue
+            if ps.max_count is not None and len(dates) > ps.max_count:
+                continue  # sh:maxCount group drop
+            for lex in set(dates):
+                facts.add((uri[e], ps.path,
+                           f'"{lex[:10]}"^^<{vocab.XSD_DATE}>'))
+    for ps in by_pid.get(26, []):
+        expected = {schema.target_class_of(n) for n in ps.nodes}
+        allowed = set().union(*(instances.get(c, set()) for c in expected))
+        for a, b in gt.spouses:
+            if uri[a] in dom(ps) and uri[b] in allowed:
+                facts.add((uri[a], ps.path, f"<{uri[b]}>"))
+    for ps in by_pid.get(856, []):
+        if list(ps.datatypes) != [vocab.XSD_ANY_URI]:
+            continue
+        for e, u in gt.urls.items():
+            if uri[e] in dom(ps) and u != "http://[bad":
+                facts.add((uri[e], ps.path,
+                           f'"{u}"^^<{vocab.XSD_ANY_URI}>'))
+    for ps in by_pid.get(625, []):
+        expected = [schema.target_class_of(n) for n in ps.nodes]
+        if expected != [vocab.SCHEMA_GEO_COORDINATES]:
+            continue
+        for e, (lat, lng, prec, globe) in gt.geos.items():
+            if uri[e] not in dom(ps) or globe != vocab.Q_EARTH:
+                continue
+            gi = (f"geo:{format_f64(round_degrees(lat, prec))},"
+                  f"{format_f64(round_degrees(lng, prec))}")
+            facts.add((uri[e], ps.path, f"<{gi}>"))
+            facts.add((gi, vocab.RDF_TYPE,
+                       f"<{vocab.SCHEMA_GEO_COORDINATES}>"))
+            facts.add((gi, vocab.SCHEMA_LATITUDE,
+                       f'"{format_f64(lat)}"^^<{vocab.XSD_DOUBLE}>'))
+            facts.add((gi, vocab.SCHEMA_LONGITUDE,
+                       f'"{format_f64(lng)}"^^<{vocab.XSD_DOUBLE}>'))
+    for ps in by_pid.get(1104, []):
+        if list(ps.datatypes) != [vocab.XSD_INTEGER]:
+            continue
+        for e, (amt, unit) in gt.pages.items():
+            if uri[e] in dom(ps) and unit == vocab.Q_UNIT_ONE:
+                facts.add((uri[e], ps.path,
+                           f'"{int(amt)}"^^<{vocab.XSD_INTEGER}>'))
+    for ps in by_pid.get(2047, []):
+        if list(ps.datatypes) != [vocab.XSD_DURATION]:
+            continue
+        for e, (amt, unit) in gt.durations.items():
+            if uri[e] not in dom(ps):
+                continue
+            n = int(amt)
+            body = f"PT{n}S" if unit == vocab.Q_SECOND else f"P{n}D"
+            facts.add((uri[e], ps.path,
+                       f'"{body}"^^<{vocab.XSD_DURATION}>'))
+    for ps in by_pid.get(2067, []):
+        expected = [schema.target_class_of(n) for n in ps.nodes]
+        if expected != [vocab.SCHEMA_QUANTITATIVE_VALUE]:
+            continue
+        for e, (amt, lo, up, unit) in gt.weights.items():
+            if uri[e] not in dom(ps) or lo is None or unit not in uri:
+                continue
+            node = f"http://www.wikidata.org/value/Vw{e}"
+            facts.add((uri[e], ps.path, f"<{node}>"))
+            facts.add((node, vocab.RDF_TYPE,
+                       f"<{vocab.SCHEMA_QUANTITATIVE_VALUE}>"))
+            facts.add((node, vocab.SCHEMA_VALUE,
+                       f'"{amt}"^^<{vocab.XSD_DECIMAL}>'))
+            facts.add((node, vocab.SCHEMA_MIN_VALUE,
+                       f'"{lo}"^^<{vocab.XSD_DECIMAL}>'))
+            facts.add((node, vocab.SCHEMA_MAX_VALUE,
+                       f'"{up}"^^<{vocab.XSD_DECIMAL}>'))
+            facts.add((node, vocab.SCHEMA_UNIT_CODE, f"<{uri[unit]}>"))
+
+    # RDF★ annotations: start-date qualifiers on surviving spouse facts
+    annotated: set[tuple] = set()
+    ann_shapes = [a for a in schema.annotation_shapes
+                  if 580 in a.from_properties]
+    for ps in by_pid.get(26, []):
+        for (a, b), when in gt.spouse_quals.items():
+            fact = (uri[a], ps.path, f"<{uri[b]}>")
+            if fact not in facts:
+                continue
+            for ann in ann_shapes:
+                annotated.add((*fact, ann.path,
+                               f'"{when[:10]}"^^<{vocab.XSD_DATE}>'))
 
     return Oracle(uri=uri, yago_classes=yago_classes, class_mapping=mapping,
-                  sub_class_of=sub_reduced, instances=instances, facts=facts)
+                  sub_class_of=sub_reduced, instances=instances, facts=facts,
+                  annotated=annotated)
