@@ -69,3 +69,25 @@ def test_linking_single_exchange_for_agg_and_join(spark):
     assert "BroadcastHashJoin" in plan
     n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchanges <= 2, f"too many shuffles: {n_exchanges}\n{plan[:2000]}"
+
+
+def test_grouped_facts_scans_partition_pruned(spark, tmp_path):
+    """The branch-grouped facts scans (predicate_key IN (...) + broadcast
+    sid config) must still prune statement partitions — the sid join must
+    not defeat partition filters."""
+    from yago4_spark.fixtures import write_mini_wikidata
+    from yago4_spark.plans.facts import _scan_with_sids
+    from yago4_spark.plans.shapes import sample_schema
+    from yago4_spark.sources.statements import StatementsTable
+
+    path = str(tmp_path / "stmts_g")
+    write_mini_wikidata(spark, path)
+    st = StatementsTable(spark, path)
+    schema = sample_schema(2)
+    sid_shapes = [(i, s) for i, s in enumerate(schema.property_shapes)
+                  if s.from_properties][:4]
+    plan = plan_of(_scan_with_sids(spark, st, sid_shapes, "ps"))
+    assert re.search(r"PartitionFilters: \[[^\]]*predicate_key", plan)
+    # the sid config side is broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
