@@ -22,6 +22,9 @@ LINES = [
     f'<{E}s> <{E}p> "plain string" .',
     f'<{E}s> <{E}p> "Berlin"@EN .',
     f'<{E}s> <{E}p> "42"^^<{XSD}integer> .',
+    f'<{E}s> <{E}p> "+86"^^<{XSD}integer> .',   # XSD allows a leading +
+    f'<{E}s> <{E}p> "-7"^^<{XSD}integer> .',
+    f'<{E}s> <{E}p> "+2.5"^^<{XSD}double> .',
     f'<{E}s> <{E}p> "999999999999999999999999"^^<{XSD}integer> .',  # > i64
     f'<{E}s> <{E}p> "1.50"^^<{XSD}decimal> .',
     f'<{E}s> <{E}p> "2.5E3"^^<{XSD}double> .',

@@ -116,8 +116,11 @@ def _unescape_arr(arr: pa.Array) -> pa.Array:
 
 
 def _masked_cast(arr: pa.Array, ok: pa.Array, typ) -> pa.Array:
-    """Cast only where ``ok``; null elsewhere (arrow cast has no 'try')."""
-    return pc.cast(pc.if_else(ok, arr, _NULL_S), typ)
+    """Cast only where ``ok``; null elsewhere (arrow cast has no 'try').
+    A leading '+' is stripped first — Arrow's numeric parser rejects it
+    while XSD (and Python int/float) accept it."""
+    cleaned = pc.replace_substring_regex(arr, pattern=r"^\+", replacement="")
+    return pc.cast(pc.if_else(ok, cleaned, _NULL_S), typ)
 
 
 def _iri_fields(iri: pa.Array) -> tuple:
