@@ -90,7 +90,7 @@ def main() -> None:
         if p_ in preds:
             got_facts.add((r["subject"]["text"], p_,
                            terms.term_to_nt_py(r["object"].asDict())))
-    rows.append(("facts (7 branches + sides)", *pr(got_facts, oracle.facts),
+    rows.append(("facts (all 9 branches + sides)", *pr(got_facts, oracle.facts),
                  len(got_facts)))
     got_ann = set()
     for r in res.outputs["annotated_facts"].collect():

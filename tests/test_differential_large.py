@@ -151,8 +151,9 @@ def _collect_annotated(res):
 
 @pytest.mark.slow
 def test_facts_pr(diff):
-    """All 7 generated dispatch branches (dates, object-range, anyURI,
-    geo+sides, integer, duration, full quantity+sides) at volume."""
+    """All 9 dispatch branches (dates, object-range, anyURI, geo+sides,
+    integer, duration, full quantity+sides, commons image, sh:pattern
+    string) at volume."""
     _, oracle, res = diff
     got = _collect_facts(res, oracle)
     tp = len(got & oracle.facts)

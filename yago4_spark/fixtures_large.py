@@ -57,6 +57,8 @@ class GroundTruth:
     pages: dict[int, tuple]                   # ent -> (amount str, unit qid)
     durations: dict[int, tuple]               # ent -> (amount str, unit qid)
     weights: dict[int, tuple]                 # ent -> (amt, lo, up, unit qid)
+    images: dict[int, str]                    # ent -> commons/invalid URL
+    issns: dict[int, str]                     # ent -> issn string
     spouse_quals: dict[tuple[int, int], str]  # (a,b) -> start-date lexical
     schema: Schema = field(default_factory=lambda: sample_schema(10))
 
@@ -219,6 +221,24 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
             weights[e] = (f"+{amt}.5", f"+{amt}", f"+{amt + 1}", unit)
         else:
             weights[e] = (f"+{amt}.5", None, None, unit)  # no bounds → drop
+    # commons images on Thing instances (~10% non-commons URL → drop)
+    thing_q2 = schema.node_shape(S + "Thing").from_classes[0]
+    ents_under[thing_q2] = [e for e, c in p31 if c in _desc(thing_q2)]
+    images = {}
+    for e in branch_sample(thing_q2, n_entities // 40):
+        images[e] = (vocab.COMMONS_FILEPATH_PREFIX + f"Img_{e}.jpg"
+                     if rng.random() < 0.9
+                     else f"http://example.com/notcommons{e}.jpg")
+    # ISSN strings with sh:pattern (~20% malformed → drop)
+    issns = {}
+    for e in branch_sample(work_q, n_entities // 40):
+        if rng.random() < 0.8:
+            issns[e] = (f"{rng.integers(1000, 9999)}-"
+                        f"{rng.integers(100, 999)}"
+                        f"{rng.choice(list('0123456789X'))}")
+        else:
+            issns[e] = f"bad-issn-{e}"
+
     # start-date qualifiers on ~30% of spouse statements (RDF★ path)
     spouse_quals = {}
     for a, b in spouses:
@@ -374,6 +394,26 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
                    lowers=[weights[e][1] for e in wt],
                    uppers=[weights[e][2] for e in wt])
 
+    # image chains: p:P18 + BestRank + ps:P18 → iri
+    im = list(images.keys())
+    im_node = [f"si{e}" for e in im]
+    flat("p:P18", "item", None, pd.Series(im, dtype="int64"),
+         "blank", im_node, None)
+    flat("rdf:type", "blank", im_node, None,
+         "iri", vocab.WIKIBASE_BEST_RANK, None)
+    flat("ps:P18", "blank", im_node, None, "iri",
+         [images[e] for e in im], None)
+
+    # ISSN chains: p:P236 + BestRank + ps:P236 → string
+    isn = list(issns.keys())
+    isn_node = [f"sn{e}" for e in isn]
+    flat("p:P236", "item", None, pd.Series(isn, dtype="int64"),
+         "blank", isn_node, None)
+    flat("rdf:type", "blank", isn_node, None,
+         "iri", vocab.WIKIBASE_BEST_RANK, None)
+    flat("ps:P236", "blank", isn_node, None, "string",
+         [issns[e] for e in isn], None)
+
     # spouse start-date qualifiers (pqv:P580 → time value nodes)
     if spouse_quals:
         qs = list(spouse_quals.keys())
@@ -399,7 +439,8 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         ent_qid=ent_qid, p31=p31, ent_label=ent_label,
         ent_sitelink=ent_sitelink, births=births, spouses=spouses,
         urls=urls, geos=geos, pages=pages, durations=durations,
-        weights=weights, spouse_quals=spouse_quals, schema=schema,
+        weights=weights, images=images, issns=issns,
+        spouse_quals=spouse_quals, schema=schema,
     )
 
 
@@ -736,6 +777,26 @@ def compute_oracle(gt: GroundTruth) -> Oracle:
             facts.add((node, vocab.SCHEMA_MAX_VALUE,
                        f'"{up}"^^<{vocab.XSD_DECIMAL}>'))
             facts.add((node, vocab.SCHEMA_UNIT_CODE, f"<{uri[unit]}>"))
+
+    for ps in by_pid.get(18, []):
+        expected = [schema.target_class_of(n) for n in ps.nodes]
+        if expected != [S + "ImageObject"]:
+            continue
+        for e, u in gt.images.items():
+            if (uri[e] in dom(ps)
+                    and u.startswith(vocab.COMMONS_FILEPATH_PREFIX)):
+                facts.add((uri[e], ps.path, f"<{u}>"))
+    import re as _re
+
+    for ps in by_pid.get(236, []):
+        if vocab.XSD_STRING not in ps.datatypes or ps.nodes:
+            continue
+        for e, v in gt.issns.items():
+            if uri[e] not in dom(ps):
+                continue
+            if ps.pattern and not _re.search(ps.pattern, v):
+                continue
+            facts.add((uri[e], ps.path, f'"{v}"'))
 
     # RDF★ annotations: start-date qualifiers on surviving spouse facts
     annotated: set[tuple] = set()
