@@ -1,0 +1,73 @@
+"""True differential against the reference's OWN code, compiled.
+
+The full cargo build is impossible offline (11 crates, registry
+unreachable), but the reference's lexical-fidelity layer is pure std:
+scripts/rust_differential.py extracts those function bodies VERBATIM
+from /root/reference/src/plan.rs + vocab.rs, compiles them with rustc,
+and streams generated corpora through the binary. This retires the
+"oracle is the same author" caveat for exactly the layer SURVEY §7.4
+flags as the hard part: IRI encoding, f64 Display (geo IRIs, double
+literals), rounding, label casing, blank-node names, duration/integer
+quantity conversion.
+
+Also asserts the Spark Column implementations agree with the scalar
+twins the differential checks, so the chain is:
+    compiled reference code == scalar twin == Spark column plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scripts.rust_differential import (
+    build_harness,
+    compare_all,
+    quantity_corpus,
+    rustc_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not rustc_available(), reason="rustc not available"
+)
+
+
+@pytest.fixture(scope="module")
+def harness():
+    return build_harness()
+
+
+def test_reference_differential(harness):
+    report = compare_all(harness)
+    assert sum(r["n"] for r in report.values()) > 15000
+    bad = {k: v["mismatches"] for k, v in report.items()
+           if v["mismatch_count"]}
+    assert not bad, bad
+
+
+def test_spark_columns_match_scalar_twins(spark):
+    """convert_duration_cols / convert_integer_cols (the plans' real
+    path) reproduce the rust-differential-verified scalar twins."""
+    from pyspark.sql import functions as F
+
+    from yago4_spark import vocab
+    from yago4_spark.functions.values import (
+        convert_duration_cols,
+        convert_integer_cols,
+        duration_py,
+        integer_quantity_py,
+    )
+
+    corpus = quantity_corpus()
+    df = spark.createDataFrame(corpus, "amount string, unit int")
+    rows = df.select(
+        "amount", "unit",
+        convert_duration_cols(F.col("amount"), F.col("unit")).alias("dur"),
+        convert_integer_cols(F.col("amount"), F.col("unit")).alias("intq"),
+    ).collect()
+    for r in rows:
+        want_dur = duration_py(r["amount"], r["unit"])
+        got_dur = "NONE" if r["dur"] is None else f"{r['dur']}\t{vocab.XSD_DURATION}"
+        assert got_dur == want_dur, (r["amount"], r["unit"], r["dur"])
+        want_int = integer_quantity_py(r["amount"], r["unit"])
+        got_int = "NONE" if r["intq"] is None else str(r["intq"])
+        assert got_int == want_int, (r["amount"], r["unit"], r["intq"])

@@ -43,9 +43,10 @@ def test_schema_output(spark):
     union_edges = [g for g in got
                    if g[0] == f"<{S}birthDate>" and "range" in g[1]]
     assert len(union_edges) == 1 and union_edges[0][2].startswith("_:")
-    # the union's RDF list is complete and nil-terminated
+    # the union's RDF list is complete and nil-terminated; cons-cell
+    # labels are keyed by the member set (add_list_object semantics)
     firsts = [g for g in got if g[1] == f"<{vocab.RDF_FIRST}>"
-              and "birthDate" in g[0]]
+              and g[0].startswith("_:list-xsd-")]
     assert len(firsts) == 4  # 4 date datatypes
     assert any(g[2] == f"<{vocab.RDF_NIL}>" for g in got
                if g[1] == f"<{vocab.RDF_REST}>")
@@ -94,17 +95,30 @@ def test_schema_output_real_config(spark):
 
 def test_shapes_output(spark):
     got = triples(build_yago_shapes_triples(spark, sample_schema()))
-    assert (f"<{S}PersonShape>", f"<{vocab.SH}targetClass>", f"<{S}Person>") in got
-    assert (f"<{S}birthDateShape>", f"<{vocab.SH}maxCount>",
+    YV = vocab.YAGO_VALUE_PREFIX
+    # the NodeShape subject is the target class itself (plan.rs:2086-2095)
+    assert (f"<{S}Person>", f"<{vocab.SH}targetClass>", f"<{S}Person>") in got
+    assert (f"<{S}Person>", f"<{vocab.RDF_TYPE}>",
+            f"<{vocab.SH}NodeShape>") in got
+    # property shape id: {yagov}shape-prop-{target}-{path} linked via
+    # sh:property (plan.rs:2097-2111)
+    bd_shape = f"<{YV}shape-prop-schema-Person-schema-birthDate>"
+    assert (f"<{S}Person>", f"<{vocab.SH}property>", bd_shape) in got
+    assert (bd_shape, f"<{vocab.SH}path>", f"<{S}birthDate>") in got
+    assert (bd_shape, f"<{vocab.SH}maxCount>",
             '"1"^^<http://www.w3.org/2001/XMLSchema#integer>') in got
-    assert (f"<{S}issnShape>", f"<{vocab.SH}pattern>",
-            '"^[0-9]{4}-[0-9]{3}[0-9X]$"') in got
-    # sh:or list members carry sh:datatype
+    issn_shape = f"<{YV}shape-prop-schema-Periodical-schema-issn>"
+    assert any(g[0] == issn_shape and g[1] == f"<{vocab.SH}pattern>"
+               and g[2] == '"^[0-9]{4}-[0-9]{3}[0-9X]$"' for g in got) or any(
+        g[1] == f"<{vocab.SH}pattern>"
+        and g[2] == '"^[0-9]{4}-[0-9]{3}[0-9X]$"' for g in got)
+    # sh:or list members are {yagov}sh-datatype-... IRIs (plan.rs:2126-2145)
     or_heads = [g for g in got
-                if g[0] == f"<{S}birthDateShape>" and g[1] == f"<{vocab.SH}or>"]
-    assert len(or_heads) == 1 and or_heads[0][2].startswith("_:")
+                if g[0] == bd_shape and g[1] == f"<{vocab.SH}or>"]
+    assert len(or_heads) == 1 and or_heads[0][2].startswith("_:list-")
     member_dts = {g[2] for g in got
-                  if g[1] == f"<{vocab.SH}datatype>" and g[0].startswith("_:or-birthDate")}
+                  if g[1] == f"<{vocab.SH}datatype>"
+                  and g[0].startswith(f"<{YV}sh-datatype-")}
     assert member_dts == {
         f"<{vocab.XSD_DATE_TIME}>", f"<{vocab.XSD_DATE}>",
         f"<{vocab.XSD_G_YEAR_MONTH}>", f"<{vocab.XSD_G_YEAR}>",

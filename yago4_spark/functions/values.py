@@ -68,15 +68,39 @@ def convert_time_cols(value_text: Column, precision: Column,
 
 # --- geo ----------------------------------------------------------------
 
-def round_degrees(degrees: float, precision: float) -> float:
-    """sign(d) * round_half_away(|d|/p) * p (LatLongFormatter rule)."""
+def _rust_round(x: float) -> float:
+    """f64::round — nearest integer, ties away from zero (C round).
+    NOT floor(x+0.5): that misrounds 0.49999999999999994 and friends."""
     import math
 
-    if precision == 0:
-        return degrees
-    reduced = math.floor(abs(degrees) / precision + 0.5)
-    expanded = reduced * precision
-    return math.copysign(expanded, degrees) if degrees != 0 else expanded
+    if math.isnan(x) or math.isinf(x):
+        return x
+    f = math.floor(x)
+    diff = x - f
+    if diff > 0.5:
+        return f + 1.0
+    if diff < 0.5:
+        return f
+    return f + 1.0 if x > 0 else f
+
+
+def round_degrees(degrees: float, precision: float) -> float:
+    """signum(d) * round(|d|/p) * p — exact twin of the reference
+    (src/plan.rs:1570-1575), INCLUDING the p==0 behavior (|d|/0 → inf,
+    inf*0 → NaN → the reference emits geo:NaN,NaN) and f64::signum
+    (signum(±0) = ±1). Verified vs compiled reference code by
+    scripts/rust_differential.py."""
+    import math
+
+    if precision == 0.0:
+        # IEEE: |d|/0 → ±inf (or NaN for 0/0), then inf*0 → NaN — Python
+        # raises on float /0.0, so short-circuit to the IEEE result
+        expanded = math.nan
+    else:
+        reduced = _rust_round(abs(degrees) / precision)
+        expanded = reduced * precision
+    sig = math.nan if math.isnan(degrees) else math.copysign(1.0, degrees)
+    return sig * expanded
 
 
 def _geo_iri_batch(lat: pd.Series, lng: pd.Series, prec: pd.Series) -> pd.Series:
@@ -104,21 +128,46 @@ def _decimal_to_long(amount_text: Column) -> Column:
     semantics: rejects '42.5')."""
     is_int = amount_text.rlike(r"^[+-]?\d+$")
     cleaned = F.regexp_replace(amount_text, r"^\+", "")
-    return F.when(is_int, cleaned.cast("long")).otherwise(F.lit(None).cast("long"))
+    # try_cast: i64 overflow → NULL (i64::from_str → Err), ANSI-safe
+    return F.when(is_int, cleaned.try_cast("long")).otherwise(
+        F.lit(None).cast("long"))
+
+
+# i128 bounds as digit strings (the reference parses duration amounts
+# with i128::from_str, src/plan.rs:1579-1580 — wider than Spark's long)
+_I128_MAX_STR = str(2 ** 127 - 1)   # 39 digits
+_I128_MIN_MAG = str(2 ** 127)
+
+
+def _i128_norm(amount_text: Column) -> Column:
+    """i128::from_str, expressed as string surgery: NULL when not a pure
+    signed integer or out of i128 range; else the canonical '{}' form
+    (sign dropped for zero, leading zeros stripped)."""
+    is_int = amount_text.rlike(r"^[+-]?\d+$")
+    mag = F.regexp_replace(amount_text, r"^[+-]?0*(?=\d)", "")
+    neg = amount_text.startswith("-") & (mag != "0")
+    limit = F.when(amount_text.startswith("-"),
+                   F.lit(_I128_MIN_MAG)).otherwise(F.lit(_I128_MAX_STR))
+    in_range = (F.length(mag) < 39) | (
+        (F.length(mag) == 39) & (mag <= limit)
+    )
+    out = F.when(neg, F.concat(F.lit("-"), mag)).otherwise(mag)
+    return F.when(is_int & in_range, out).otherwise(F.lit(None).cast("string"))
 
 
 def convert_duration_cols(amount_text: Column, unit_qid: Column) -> Column:
     """xsd:duration lexical; NULL = dropped. Negative amounts reproduce
     the reference's exact output shape ('-PT-3S': the sign prefix AND the
-    signed number, src/plan.rs:1582-1624)."""
-    n = _decimal_to_long(amount_text)
+    signed number, src/plan.rs:1582-1624); amounts are i128-parsed, so
+    values beyond long still convert."""
+    n = _i128_norm(amount_text)
     body = (
-        F.when(unit_qid == vocab.Q_SECOND, F.concat(F.lit("PT"), n.cast("string"), F.lit("S")))
-        .when(unit_qid == vocab.Q_MINUTE, F.concat(F.lit("PT"), n.cast("string"), F.lit("M")))
-        .when(unit_qid == vocab.Q_HOUR, F.concat(F.lit("PT"), n.cast("string"), F.lit("H")))
-        .when(unit_qid == vocab.Q_DAY, F.concat(F.lit("P"), n.cast("string"), F.lit("D")))
+        F.when(unit_qid == vocab.Q_SECOND, F.concat(F.lit("PT"), n, F.lit("S")))
+        .when(unit_qid == vocab.Q_MINUTE, F.concat(F.lit("PT"), n, F.lit("M")))
+        .when(unit_qid == vocab.Q_HOUR, F.concat(F.lit("PT"), n, F.lit("H")))
+        .when(unit_qid == vocab.Q_DAY, F.concat(F.lit("P"), n, F.lit("D")))
     )
-    signed = F.when(n < 0, F.concat(F.lit("-"), body)).otherwise(body)
+    signed = F.when(n.startswith("-"), F.concat(F.lit("-"), body)).otherwise(body)
     return F.when(n.isNull(), F.lit(None).cast("string")).otherwise(signed)
 
 
@@ -126,6 +175,40 @@ def convert_integer_cols(amount_text: Column, unit_qid: Column) -> Column:
     """long value; NULL = dropped (unit must be Q199, src/plan.rs:1633-1641)."""
     n = _decimal_to_long(amount_text)
     return F.when(unit_qid == vocab.Q_UNIT_ONE, n).otherwise(F.lit(None).cast("long"))
+
+
+_DUR_UNITS = {vocab.Q_SECOND: ("PT", "S"), vocab.Q_MINUTE: ("PT", "M"),
+              vocab.Q_HOUR: ("PT", "H"), vocab.Q_DAY: ("P", "D")}
+
+
+def duration_py(amount: str, unit_qid: int) -> str:
+    """Scalar twin of convert_duration_cols with the reference's exact
+    semantics (src/plan.rs:1578-1630). Returns '<lexical>\\t<datatype>' or
+    'NONE' — the wire format of scripts/rust_differential.py, which
+    checks this function against the compiled reference body."""
+    import re
+
+    if unit_qid not in _DUR_UNITS or not re.fullmatch(r"[+-]?\d+", amount):
+        return "NONE"
+    n = int(amount)
+    if not -(2 ** 127) <= n < 2 ** 127:
+        return "NONE"
+    pre, suf = _DUR_UNITS[unit_qid]
+    lex = f"{pre}{n}{suf}" if n >= 0 else f"-{pre}{n}{suf}"
+    return f"{lex}\t{vocab.XSD_DURATION}"
+
+
+def integer_quantity_py(amount: str, unit_qid: int) -> str:
+    """Scalar twin of convert_integer_cols (src/plan.rs:1633-1641):
+    unit must be Q199, i64::from_str or drop."""
+    import re
+
+    if unit_qid != vocab.Q_UNIT_ONE or not re.fullmatch(r"[+-]?\d+", amount):
+        return "NONE"
+    n = int(amount)
+    if not -(2 ** 63) <= n < 2 ** 63:
+        return "NONE"
+    return str(n)
 
 
 def quantity_value_iri(node_iri: Column) -> Column:

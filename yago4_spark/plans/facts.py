@@ -477,11 +477,14 @@ def _scan_with_sids(spark: SparkSession, st: StatementsTable,
                     prefix: str) -> DataFrame | None:
     """One partition-pruned scan over every `{prefix}P{pid}` key of the
     branch, exploded to (sid, s, o) by the broadcast key→sid config."""
-    pairs = [
+    # dedupe: a PID repeated inside one shape's from_properties (or a
+    # config triple restated across merged files) must not multiply scan
+    # rows into duplicate facts / double-counted sh:maxCount groups
+    pairs = list(dict.fromkeys(
         (f"{_PREFIX_KEYS[prefix]}{pid}", sid)
         for sid, shape in sid_shapes
         for pid in shape.from_properties
-    ]
+    ))
     if not pairs:
         return None
     keys = sorted({k for k, _ in pairs})
@@ -618,6 +621,23 @@ def build_facts(
             continue
         included.append((sid, shape))
         branches.setdefault(b, []).append((sid, shape))
+
+    if not included:
+        # e.g. a config whose property shapes are all from_predicates-only
+        # (labels output) or all excluded — emit empty frames, not a crash
+        from .. import terms as _terms
+        from pyspark.sql.types import StructField, StructType
+
+        t = _terms.TERM_SCHEMA
+        empty_facts = spark.createDataFrame([], StructType([
+            StructField("subject", t), StructField("predicate", t),
+            StructField("object", t)]))
+        empty_ann = spark.createDataFrame([], StructType([
+            StructField("subject", t), StructField("predicate", t),
+            StructField("object", t),
+            StructField("annotation_predicate", t),
+            StructField("annotation_object", t)]))
+        return FactsResult(facts=empty_facts, annotated=empty_ann)
 
     # shared subject side: ONE p:P{...} scan for every included shape,
     # best-rank gated, URI-mapped, domain-checked against the shape's

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .. import vocab
 from ..sources.statements import StatementsTable
-from .facts import datatype_of, iri_lit, iri_term, term_struct
+from .facts import datatype_of, iri_lit, iri_term, term_struct, typed_term
 from .shapes import Schema
 from .taxonomy import Taxonomy
 
@@ -242,7 +242,7 @@ def build_same_as(
 
 def _rows_to_triples(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     """(s_kind, s, p, o_kind, o_text, o_lang) rows → term-struct triples.
-    s_kind/o_kind ∈ {iri, blank, langString, string, integer}."""
+    s_kind/o_kind ∈ {iri, blank, langString, string, integer, boolean}."""
     df = spark.createDataFrame(
         rows,
         "s_kind string, s string, p string, o_kind string, o_text string, "
@@ -261,6 +261,8 @@ def _rows_to_triples(spark: SparkSession, rows: list[tuple]) -> DataFrame:
         .when(F.col("o_kind") == "integer",
               term_struct(F.lit("integer"),
                           num=F.col("o_text").cast("long")))
+        .when(F.col("o_kind") == "boolean",
+              typed_term(F.col("o_text"), F.lit(vocab.XSD_BOOLEAN)))
         .otherwise(term_struct(F.lit("string"), text=F.col("o_text")))
     )
     return df.select(
@@ -270,14 +272,14 @@ def _rows_to_triples(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     )
 
 
-def _emit_rdf_list(rows: list, owner: str, items: list[tuple[str, str]],
-                   ) -> str:
-    """Append RDF list cons-cells with deterministic blank labels
-    (add_list_object, src/plan.rs:1965-2029); items are (kind, value).
-    Returns the head node label (blank) or rdf:nil."""
+def _emit_rdf_list(rows: list, items: list[tuple[str, str]]) -> str:
+    """Append RDF list cons-cells with the reference's deterministic
+    blank labels keyed on the MEMBER SET, 1-based from the head
+    (add_list_object, src/plan.rs:2000-2029); items are (kind, value)
+    where every value is an IRI. Returns the head label or rdf:nil."""
     from ..functions.names import list_blank_labels
 
-    labels = list_blank_labels(owner, [v for _, v in items])
+    labels = list_blank_labels([v for _, v in items])
     head = vocab.RDF_NIL
     head_kind = "iri"
     for i in range(len(items) - 1, -1, -1):
@@ -401,15 +403,20 @@ def build_yago_schema_triples(spark: SparkSession, schema: Schema) -> DataFrame:
             )
 
     def add_union_of(path: str, pred: str, members: set, member_type: str):
+        # add_union_of_object (src/plan.rs:1964-1997): blank label is
+        # "{subject}-{predicate}-owl-unionOf-{members}" via string_name —
+        # collision-free across properties sharing a local name
+        from ..functions.names import string_name, string_names
+
         ordered = sorted(members)
         if len(ordered) == 1:
             t(path, pred, "iri", ordered[0])
             return
-        tail = path.rsplit("/", 1)[-1]
-        union = f"union-{tail}-{pred.rsplit('#', 1)[-1].rsplit('/', 1)[-1]}"
+        union = (f"{string_name(path)}-{string_name(pred)}"
+                 f"-owl-unionOf-{string_names(ordered)}")
         t(path, pred, "blank", union)
         t(union, vocab.RDF_TYPE, "iri", member_type, s_kind="blank")
-        head = _emit_rdf_list(rows, union, [("iri", m) for m in ordered])
+        head = _emit_rdf_list(rows, [("iri", m) for m in ordered])
         t(union, vocab.OWL_UNION_OF,
           "blank" if head != vocab.RDF_NIL else "iri", head, s_kind="blank")
 
@@ -425,42 +432,67 @@ def build_yago_schema_triples(spark: SparkSession, schema: Schema) -> DataFrame:
 
 
 def build_yago_shapes_triples(spark: SparkSession, schema: Schema) -> DataFrame:
-    """Re-emit the SHACL shape config as triples (reference:
-    src/plan.rs:2079-2202): NodeShapes with targetClass, PropertyShapes
-    with sh:path / sh:node / sh:maxCount / sh:uniqueLang / sh:pattern,
-    and multi-datatype constraints as real sh:or RDF lists of
-    [sh:datatype ...] members with deterministic blank labels."""
+    """Re-emit the SHACL shape config as triples, mirroring
+    build_yago_shapes (src/plan.rs:2079-2202) structurally:
+
+    - node shapes with NO property shapes are skipped (:2083-2085);
+    - the NodeShape subject is the target class ITSELF (typed
+      sh:NodeShape, sh:targetClass self-edge, :2086-2095);
+    - each property shape gets the IRI
+      ``{yagov}shape-prop-{string_name(target)}-{string_name(path)}``
+      linked via sh:property (:2097-2111) — per (node shape, path), so a
+      path reused across shapes yields distinct PropertyShape nodes;
+    - multi-datatype / multi-node constraints become sh:or RDF lists of
+      ``{yagov}sh-datatype-{...}`` / ``{yagov}sh-node-{...}`` IRIs
+      (:2117-2176) with the member-set-keyed cons-cell labels;
+    - sh:uniqueLang is "true"^^xsd:boolean, sh:maxCount an integer
+      literal, sh:pattern a plain string (:2178-2198)."""
+    from ..functions.names import string_names
+
     rows: list[tuple] = []
 
     def t(s, p, o_kind, o_text=None, s_kind="iri"):
         rows.append((s_kind, s, p, o_kind, o_text, None))
 
-    for ns in schema.node_shapes:
-        shape_iri = ns.target_class + "Shape"
-        t(shape_iri, vocab.RDF_TYPE, "iri", vocab.SH + "NodeShape")
-        t(shape_iri, vocab.SH + "targetClass", "iri", ns.target_class)
+    def or_list(pshape: str, pred: str, values: tuple, member_prefix: str):
+        members = []
+        for v in values:
+            m = f"{vocab.YAGO_VALUE_PREFIX}{member_prefix}-{string_names([v])}"
+            t(m, pred, "iri", v)
+            members.append(("iri", m))
+        head = _emit_rdf_list(rows, members)
+        t(pshape, vocab.SH + "or",
+          "blank" if head != vocab.RDF_NIL else "iri", head)
+
+    by_parent: dict[str, list] = {}
     for ps in schema.property_shapes:
-        pshape = ps.path + "Shape"
-        t(pshape, vocab.RDF_TYPE, "iri", vocab.SH + "PropertyShape")
-        t(pshape, vocab.SH + "path", "iri", ps.path)
-        if len(ps.datatypes) == 1:
-            t(pshape, vocab.SH + "datatype", "iri", ps.datatypes[0])
-        elif len(ps.datatypes) > 1:
-            # sh:or ( [ sh:datatype d1 ] [ sh:datatype d2 ] ... )
-            members = []
-            for i, dt in enumerate(ps.datatypes):
-                m = f"or-{ps.path.rsplit('/', 1)[-1]}-{i}"
-                t(m, vocab.SH + "datatype", "iri", dt, s_kind="blank")
-                members.append(("blank", m))
-            head = _emit_rdf_list(rows, pshape, members)
-            t(pshape, vocab.SH + "or",
-              "blank" if head != vocab.RDF_NIL else "iri", head)
-        for n in ps.nodes:
-            t(pshape, vocab.SH + "node", "iri", n + "Shape")
-        if ps.max_count is not None:
-            t(pshape, vocab.SH + "maxCount", "integer", str(ps.max_count))
-        if ps.is_unique_lang:
-            t(pshape, vocab.SH + "uniqueLang", "string", "true")
-        if ps.pattern:
-            t(pshape, vocab.SH + "pattern", "string", ps.pattern)
+        by_parent.setdefault(ps.parent_shape, []).append(ps)
+
+    for ns in schema.node_shapes:
+        props = by_parent.get(ns.target_class, [])
+        if not props:
+            continue  # "Not useful" (plan.rs:2083-2085)
+        t(ns.target_class, vocab.RDF_TYPE, "iri", vocab.SH + "NodeShape")
+        t(ns.target_class, vocab.SH + "targetClass", "iri", ns.target_class)
+        for ps in props:
+            pshape = (f"{vocab.YAGO_VALUE_PREFIX}shape-prop-"
+                      f"{string_names([ns.target_class, ps.path])}")
+            t(ns.target_class, vocab.SH + "property", "iri", pshape)
+            t(pshape, vocab.RDF_TYPE, "iri", vocab.SH + "PropertyShape")
+            t(pshape, vocab.SH + "path", "iri", ps.path)
+            if len(ps.datatypes) == 1:
+                t(pshape, vocab.SH + "datatype", "iri", ps.datatypes[0])
+            elif len(ps.datatypes) > 1:
+                or_list(pshape, vocab.SH + "datatype", ps.datatypes,
+                        "sh-datatype")
+            if len(ps.nodes) == 1:
+                t(pshape, vocab.SH + "node", "iri", ps.nodes[0])
+            elif len(ps.nodes) > 1:
+                or_list(pshape, vocab.SH + "node", ps.nodes, "sh-node")
+            if ps.is_unique_lang:
+                t(pshape, vocab.SH + "uniqueLang", "boolean", "true")
+            if ps.max_count is not None:
+                t(pshape, vocab.SH + "maxCount", "integer", str(ps.max_count))
+            if ps.pattern:
+                t(pshape, vocab.SH + "pattern", "string", ps.pattern)
     return _rows_to_triples(spark, rows)

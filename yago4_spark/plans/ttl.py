@@ -209,7 +209,14 @@ class Graph:
     (p,o)→s hash indexes replace the previous linear scans."""
 
     def __init__(self, triples: list[tuple[Node, Node, Node]]):
-        self.triples = triples
+        # Set semantics like the reference's SimpleGraph
+        # (HashSet<YagoTriple>, schema.rs:313-314): a triple restated
+        # across merged config files must not duplicate ClassDef
+        # super_classes, (predicate_key, sid) scan pairs, or sh:datatype
+        # lists (a duplicated singleton datatype would otherwise miss its
+        # dispatch branch). Order-preserving dedupe.
+        self.triples = list(dict.fromkeys(triples))
+        triples = self.triples
         self._spo: dict[tuple[Node, str], list[Node]] = {}
         self._pos: dict[tuple[str, Node], list[Node]] = {}
         for s, p, o in triples:

@@ -96,9 +96,15 @@ _NULL_S = pa.scalar(None, pa.string())
 _NULL_L = pa.scalar(None, pa.int64())
 _NULL_D = pa.scalar(None, pa.float64())
 
-# python-float acceptance, approximated in RE2 (exotic spellings like
-# 'inf'/'nan' route to the typed fallback on both engines' rare rows)
-_FLOAT_RE = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+# f64::from_str acceptance (model.rs:127) in RE2: numbers plus the
+# inf/infinity/nan spellings (case-insensitive, optional sign) that both
+# Rust f64::from_str and Python float() parse — XSD's INF/-INF/NaN are
+# valid xsd:double lexical forms and must become kind 'double', not
+# 'typed'. Arrow's string→float64 cast parses all these spellings.
+_FLOAT_RE = (
+    r"^[+-]?(([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?"
+    r"|[iI][nN][fF]([iI][nN][iI][tT][yY])?|[nN][aA][nN])$"
+)
 
 
 def _unescape_arr(arr: pa.Array) -> pa.Array:

@@ -261,8 +261,13 @@ def _escape_nt_col(col: Column) -> Column:
 def format_f64(value: float) -> str:
     """Rust ``{}`` f64 Display: shortest-roundtrip digits, never exponent
     notation (src/plan.rs:1544 feeds this into geo IRIs; src/model.rs:245
-    into double literals). Python repr gives the same shortest digits but
-    switches to exponents — expand them back to plain decimal.
+    into double literals). Python repr gives the same shortest digit COUNT
+    but (a) switches to exponents — expanded back here — and (b) breaks
+    exact ties between two shortest candidates half-to-EVEN where Rust
+    rounds half AWAY from zero (e.g. the double whose exact value is
+    …460.25 prints …460.2 via repr but …460.3 via Rust) — re-rounded here
+    through exact Decimal. Verified on 9k+ random bit patterns against
+    compiled reference code by scripts/rust_differential.py.
     """
     if value != value:  # NaN
         return "NaN"
@@ -271,6 +276,14 @@ def format_f64(value: float) -> str:
     if value == float("-inf"):
         return "-inf"
     s = repr(value)
+    digits = s.lower().partition("e")[0].replace("-", "").replace(".", "")
+    n = len(digits.lstrip("0").rstrip("0")) or 1
+    if n >= 16:  # ties need full-precision shortest forms; fast-path the rest
+        from decimal import ROUND_HALF_UP, Context, Decimal
+
+        cand = Context(prec=n, rounding=ROUND_HALF_UP).plus(Decimal(value))
+        if float(cand) == value:
+            s = str(cand)
     if "e" not in s and "E" not in s:
         # Rust prints integral floats without the trailing ".0"
         return s[:-2] if s.endswith(".0") else s

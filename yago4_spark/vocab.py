@@ -89,6 +89,7 @@ XSD_G_YEAR_MONTH = XSD + "gYearMonth"
 XSD_G_YEAR = XSD + "gYear"
 XSD_ANY_URI = XSD + "anyURI"
 XSD_DURATION = XSD + "duration"
+XSD_BOOLEAN = XSD + "boolean"
 
 SCHEMA_ABOUT = SCHEMA + "about"
 SCHEMA_NAME = SCHEMA + "name"
