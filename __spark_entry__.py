@@ -328,19 +328,34 @@ def q_ann_ivf_topk(spark, sf):
                     n_cells=8, n_probe=4)
 
 
+_NEAR_DUP_MAX_BLOCK = 40  # small enough that sf0.01's 500 vectors split
+
+
 def q_embedding_near_dup(spark, sf):
     """Embedding-cosine near-dup pairs, blocked by the label column
     (threshold tuned to the synthetic corpus's similarity range so the
-    check is non-vacuous)."""
+    check is non-vacuous). Hub-block cap: blocks larger than
+    _NEAR_DUP_MAX_BLOCK are sub-split ceil(n/max) ways by vec_id modulo
+    (deterministic, mirrored in the oracle SQL) so no single block goes
+    O(n²) — the same cap embedding_near_dup_pairs applies per IVF cell."""
     from yago4_spark.operators.similarity import cosine
 
     e = _t(spark, sf, "embeddings")
-    a = e.select(F.col("label"), F.col("vec_id").alias("id_a"),
-                 F.col("embedding").alias("va"))
-    b = e.select(F.col("label"), F.col("vec_id").alias("id_b"),
-                 F.col("embedding").alias("vb"))
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
+    n_blocks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("_n") / F.lit(_NEAR_DUP_MAX_BLOCK)).cast("long"),
+    )
+    e = (
+        e.join(F.broadcast(counts), "label")
+        .withColumn("block", F.pmod(F.col("vec_id"), n_blocks))
+    )
+    a = e.select(F.col("label"), F.col("block"),
+                 F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("label"), F.col("block"),
+                 F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
-        a.join(b, "label")
+        a.join(b, ["label", "block"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
@@ -670,13 +685,22 @@ def oracle_sql() -> dict[str, str]:
             FROM assigned WHERE cell IN (SELECT cell FROM probe)
             ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
-        "embedding_near_dup": """
+        "embedding_near_dup": f"""
+            WITH blocked AS (
+                SELECT e.*,
+                       e.vec_id % greatest(1, CAST(ceil(
+                           c._n / {_NEAR_DUP_MAX_BLOCK}.0) AS BIGINT)) AS block
+                FROM embeddings e
+                JOIN (SELECT label, count(*) AS _n
+                      FROM embeddings GROUP BY label) c USING (label)
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(
                        CAST(a.embedding AS DOUBLE[]),
                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM blocked a JOIN blocked b
+              ON a.label = b.label AND a.block = b.block
+             AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4

@@ -120,6 +120,17 @@ def test_real_config_differential(diff_real):
         f"spark-only={sorted(got - oracle.facts)[:3]} "
         f"oracle-only={sorted(oracle.facts - got)[:3]}")
     assert _collect_annotated(res) == oracle.annotated
+    for name, expected in (
+        ("classes", oracle.classes_out),
+        ("simple_types", oracle.simple_types),
+        ("full_types", oracle.full_types),
+        ("labels", oracle.labels_out),
+        ("same_as", oracle.same_as),
+    ):
+        got_f = _spo(res.outputs[name])
+        assert got_f == expected, (
+            f"{name}: spark-only={sorted(got_f - expected)[:3]} "
+            f"oracle-only={sorted(expected - got_f)[:3]}")
 
 
 def _collect_facts(res, oracle):
@@ -175,3 +186,30 @@ def test_annotated_facts(diff):
     assert got == oracle.annotated, (
         f"spark-only={sorted(got - oracle.annotated)[:3]} "
         f"oracle-only={sorted(oracle.annotated - got)[:3]}")
+
+
+def _spo(df):
+    return {
+        (r["subject"]["text"], r["predicate"]["text"],
+         terms.term_to_nt_py(r["object"].asDict()))
+        for r in df.collect()
+    }
+
+
+@pytest.mark.slow
+def test_output_families(diff):
+    """VERDICT r02 item 3: the remaining output families at volume —
+    classes-description, simple/full types, labels, same_as — exact vs
+    the oracle."""
+    _, oracle, res = diff
+    for name, expected in (
+        ("classes", oracle.classes_out),
+        ("simple_types", oracle.simple_types),
+        ("full_types", oracle.full_types),
+        ("labels", oracle.labels_out),
+        ("same_as", oracle.same_as),
+    ):
+        got = _spo(res.outputs[name])
+        assert got == expected, (
+            f"{name}: spark-only={sorted(got - expected)[:3]} "
+            f"oracle-only={sorted(expected - got)[:3]}")

@@ -186,6 +186,27 @@ def test_embedding_near_dup(embeddings):
     assert (0, 30) in got
 
 
+def test_embedding_near_dup_hub_cell_cap(spark):
+    """VERDICT r02 item 5: a dominant cell (every vector near-identical →
+    one IVF cell holds all n) must NOT produce an O(n²) block. With
+    max_cell_size the pair count is bounded by the within-block total,
+    and near-identical vectors are still found inside blocks."""
+    n = 400
+    rows = [(i, [1.0, 1e-6 * i, 0.0, 0.0]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    capped = embedding_near_dup_pairs(
+        emb, threshold=0.9, n_cells=4, max_cell_size=50)
+    cnt = capped.count()
+    # ceil(400/50)=8 blocks of ~50 → ≈ 8 * C(50,2) = 9800 pairs, vs
+    # C(400,2) = 79800 uncapped. Hash blocks are uneven; allow 3x slack.
+    assert 0 < cnt <= 3 * 8 * (50 * 49) // 2, cnt
+
+    # still finds pairs (bounded recall, not zero recall)
+    sample = capped.limit(5).collect()
+    assert all(r["sim"] >= 0.9 for r in sample)
+
+
 def test_media_plumbing(spark):
     from yago4_spark.functions.media import decode_media_features
     from yago4_spark.sources.documents import documents_df, exploded_media_spans

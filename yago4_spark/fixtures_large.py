@@ -33,9 +33,13 @@ ENWIKI = vocab.ENWIKI_ARTICLE_PREFIX
 Y = vocab.YAGO_RESOURCE_PREFIX
 
 BAD_ROOT = vocab.WD_BAD_CLASSES[0]
-ORPHAN_ROOT = 9_999_999          # unmapped parent: subtree not kept
-CLS_BASE = 1_000_000
-ENT_BASE = 2_000_000
+# synthetic qid ranges sit far above real Wikidata QIDs (~1.2e8 in the
+# reference era) so the REAL config's ys:fromClass QIDs can never collide
+# with generated class/entity qids (a collision makes one item both a
+# mapped root and an entity, splitting its labels across both roles)
+ORPHAN_ROOT = 3_999_999_999      # unmapped parent: subtree not kept
+CLS_BASE = 1_000_000_000
+ENT_BASE = 2_000_000_000
 
 
 @dataclass
@@ -60,6 +64,9 @@ class GroundTruth:
     images: dict[int, str]                    # ent -> commons/invalid URL
     issns: dict[int, str]                     # ent -> issn string
     spouse_quals: dict[tuple[int, int], str]  # (a,b) -> start-date lexical
+    descs: dict[int, str]                     # qid -> schema:description @en
+    alt_labels: dict[int, str]                # qid -> skos:altLabel @en
+    freebase: dict[int, str]                  # qid -> P646 id (some invalid)
     schema: Schema = field(default_factory=lambda: sample_schema(10))
 
 
@@ -74,6 +81,8 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         for q in ns.from_classes:
             root_targets.setdefault(q, ns.target_class)
     root_qids = sorted(root_targets)
+    assert all(q < CLS_BASE for q in root_qids), (
+        "config from_class QIDs collide with synthetic qid ranges")
     S = vocab.SCHEMA
     person_q = schema.node_shape(S + "Person").from_classes[0]
     work_q = schema.node_shape(S + "CreativeWork").from_classes[0]
@@ -239,6 +248,25 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         else:
             issns[e] = f"bad-issn-{e}"
 
+    # descriptions / alt labels (labels + classes-description outputs)
+    # and Freebase ids (same_as output; ~20% fail the /m/ regex)
+    descs: dict[int, str] = {}
+    alt_labels: dict[int, str] = {}
+    freebase: dict[int, str] = {}
+    for q in cls:
+        if rng.random() < 0.5:
+            descs[int(q)] = f"Class description {q}"
+    for e in ent_qid:
+        e = int(e)
+        r = rng.random()
+        if r < 0.4:
+            descs[e] = f"Entity description {e}"
+        if r < 0.2:
+            alt_labels[e] = f"AltEnt{e}"
+        if r < 0.15:
+            freebase[e] = (f"/m/0{np.base_repr(e, 36).lower()}"
+                           if rng.random() < 0.8 else f"/m/9bad{e}")
+
     # start-date qualifiers on ~30% of spouse statements (RDF★ path)
     spouse_quals = {}
     for a, b in spouses:
@@ -282,6 +310,23 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         "s_num": pd.Series(lq, dtype="int64"),
         "o_kind": "langString", "o_text": lt, "o_num": None, "o_lang": "en",
     }))
+
+    # descriptions + alt labels (@en), Freebase ids
+    frames.append(pd.DataFrame({
+        "pk": "schema:description", "s_kind": "item", "s_text": None,
+        "s_num": pd.Series(list(descs.keys()), dtype="int64"),
+        "o_kind": "langString", "o_text": list(descs.values()),
+        "o_num": None, "o_lang": "en",
+    }))
+    frames.append(pd.DataFrame({
+        "pk": "skos:altLabel", "s_kind": "item", "s_text": None,
+        "s_num": pd.Series(list(alt_labels.keys()), dtype="int64"),
+        "o_kind": "langString", "o_text": list(alt_labels.values()),
+        "o_num": None, "o_lang": "en",
+    }))
+    flat("wdt:P646", "item", None,
+         pd.Series(list(freebase.keys()), dtype="int64"),
+         "string", list(freebase.values()), None)
 
     # sitelinks
     sq = [*class_sitelink.keys(), *ent_sitelink.keys()]
@@ -440,7 +485,8 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         ent_sitelink=ent_sitelink, births=births, spouses=spouses,
         urls=urls, geos=geos, pages=pages, durations=durations,
         weights=weights, images=images, issns=issns,
-        spouse_quals=spouse_quals, schema=schema,
+        spouse_quals=spouse_quals, descs=descs, alt_labels=alt_labels,
+        freebase=freebase, schema=schema,
     )
 
 
@@ -532,6 +578,11 @@ class Oracle:
     instances: dict[str, set[str]]           # shape target → entity URIs
     facts: set[tuple[str, str, str]]         # (s_uri, pred, obj repr)
     annotated: set[tuple]                    # (s, p, o, ann_p, ann_o)
+    classes_out: set[tuple[str, str, str]]   # classes-description triples
+    simple_types: set[tuple[str, str, str]]
+    full_types: set[tuple[str, str, str]]
+    labels_out: set[tuple[str, str, str]]
+    same_as: set[tuple[str, str, str]]
 
 
 def compute_oracle(gt: GroundTruth) -> Oracle:
@@ -811,6 +862,79 @@ def compute_oracle(gt: GroundTruth) -> Oracle:
                 annotated.add((*fact, ann.path,
                                f'"{when[:10]}"^^<{vocab.XSD_DATE}>'))
 
+    # --- the 4 remaining output families ------------------------------
+    things = instances.get(vocab.SCHEMA_THING, set())
+
+    # classes-description (build_classes_description, plan.rs:771-814):
+    # owl:Class typing + reduced subclass edges + labels/comments of
+    # items whose URI is a YAGO class
+    classes_out: set[tuple[str, str, str]] = set()
+    for cu in yago_classes:
+        classes_out.add((cu, vocab.RDF_TYPE, f"<{vocab.OWL_CLASS}>"))
+    for ch_, p_ in sub_reduced:
+        classes_out.add((ch_, vocab.RDFS_SUBCLASS_OF, f"<{p_}>"))
+    for q, lbl in labels_en.items():
+        if uri[q] in yago_classes:
+            classes_out.add((uri[q], vocab.RDFS_LABEL, f'"{lbl}"@en'))
+    for q, d in gt.descs.items():
+        if uri[q] in yago_classes:
+            classes_out.add((uri[q], vocab.RDFS_COMMENT, f'"{d}"@en'))
+
+    # simple types (build_simple_instance_of, plan.rs:734-744)
+    simple_types = {
+        (i, vocab.RDF_TYPE, f"<{target}>")
+        for target, insts in instances.items() for i in insts
+    }
+
+    # full types (build_full_instance_of, plan.rs:747-768): P31 × class
+    # mapping, Thing instances only
+    full_types: set[tuple[str, str, str]] = set()
+    for e, c in gt.p31:
+        if uri[e] not in things:
+            continue
+        for yc in cmap.get(c, ()):
+            full_types.add((uri[e], vocab.RDF_TYPE, f"<{yc}>"))
+
+    # labels output (build_simple_properties, plan.rs:818-892):
+    # from_predicates shapes, langString datatype, parent-shape domain
+    labels_out: set[tuple[str, str, str]] = set()
+    label_sources = {
+        "skos:prefLabel": labels_en,
+        "schema:description": gt.descs,
+        "skos:altLabel": gt.alt_labels,
+    }
+    for ps in schema.property_shapes:
+        if not ps.from_predicates:
+            continue
+        domain = instances.get(ps.parent_shape, set())
+        for pred_key in ps.from_predicates:
+            for q, v in label_sources.get(pred_key, {}).items():
+                if uri[q] in domain:
+                    labels_out.add((uri[q], ps.path, f'"{v}"@en'))
+
+    # same_as (build_same_as, plan.rs:1690-1780)
+    import re as _re2
+
+    same_as: set[tuple[str, str, str]] = set()
+    for q, yu in uri.items():
+        if yu in things:
+            same_as.add((yu, vocab.OWL_SAME_AS,
+                         f"<http://www.wikidata.org/entity/Q{q}>"))
+    for q, title in sitelinks.items():
+        if uri[q] in things:
+            same_as.add((uri[q], vocab.OWL_SAME_AS,
+                         f"<{vocab.DBPEDIA_RESOURCE_PREFIX}{title}>"))
+            same_as.add((uri[q], vocab.SCHEMA + "sameAs",
+                         f'"{ENWIKI}{title}"^^<{vocab.XSD_ANY_URI}>'))
+    fb_re = _re2.compile(r"/m/0([0-9a-z_]{2,6}|1[0123][0-9a-z_]{5})$")
+    for q, fb in gt.freebase.items():
+        if fb_re.search(fb) and uri[q] in things:
+            same_as.add((uri[q], vocab.OWL_SAME_AS,
+                         f"<{vocab.FREEBASE_NS_PREFIX}"
+                         f"{fb[1:].replace('/', '.')}>"))
+
     return Oracle(uri=uri, yago_classes=yago_classes, class_mapping=mapping,
                   sub_class_of=sub_reduced, instances=instances, facts=facts,
-                  annotated=annotated)
+                  annotated=annotated, classes_out=classes_out,
+                  simple_types=simple_types, full_types=full_types,
+                  labels_out=labels_out, same_as=same_as)

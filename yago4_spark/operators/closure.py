@@ -12,8 +12,12 @@ Scale notes (100 TB discipline):
   table, not the whole visited set — work is proportional to newly
   reached nodes, like BFS;
 - the edge table is cached once and reused every iteration;
-- ``localCheckpoint`` every iteration truncates the lineage chain, which
-  otherwise grows linearly and blows up the driver at depth;
+- ONLY the frontier is checkpointed each iteration; the visited set is a
+  plain union over the already-checkpointed frontiers, so every reached
+  node is materialized exactly once. (Re-checkpointing the whole visited
+  set per iteration is O(V·depth) block-store writes — at a deep P279
+  graph that dominates closure cost.) The union plan stays shallow: its
+  leaves are checkpointed RDDs, so lineage does not accumulate;
 - Wikidata P279 has cycles — the ``subtract`` against the visited set is
   what guarantees termination (visited-set BFS does the same);
 - ``max_iterations`` is a safety cap; hitting it raises, because a
@@ -50,8 +54,8 @@ def transitive_closure(
         F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    visited = seeds.localCheckpoint(eager=True)
-    frontier = visited
+    frontier = seeds.localCheckpoint(eager=True)
+    visited = frontier  # union over checkpointed frontiers, never re-written
     for i in range(max_iterations):
         next_nodes = (
             frontier.join(edges, frontier["node"] == edges["src"], "inner")
@@ -66,7 +70,7 @@ def transitive_closure(
         if frontier.isEmpty():
             edges.unpersist()
             return visited
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier)
     edges.unpersist()
     raise ClosureDidNotConverge(f"no fixpoint after {max_iterations} iterations")
 
@@ -89,8 +93,8 @@ def transitive_closure_pair(
         F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    visited = pairs.localCheckpoint(eager=True)
-    frontier = visited
+    frontier = pairs.localCheckpoint(eager=True)
+    visited = frontier  # union over checkpointed frontiers (see module doc)
     for _ in range(max_iterations):
         next_pairs = (
             frontier.join(edges, frontier["node"] == edges["src"], "inner")
@@ -101,7 +105,7 @@ def transitive_closure_pair(
         if frontier.isEmpty():
             edges.unpersist()
             return visited
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier)
     edges.unpersist()
     raise ClosureDidNotConverge(f"no fixpoint after {max_iterations} iterations")
 

@@ -128,24 +128,45 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
-                             n_cells: int = 8, id_col: str = "vec_id",
+                             n_cells: int = 8, max_cell_size: int = 4096,
+                             id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
     """Near-duplicate vector pairs: block by IVF cell, all-pairs only
-    within a cell, cosine >= threshold. Returns (id_a, id_b, sim)."""
+    within a cell, cosine >= threshold. Returns (id_a, id_b, sim).
+
+    Hub-cell cap: real embedding distributions are lumpy — one dominant
+    cell would otherwise run a single O(n²) task. Cells larger than
+    ``max_cell_size`` are deterministically sub-split into
+    ceil(n/max_cell_size) blocks by id hash (pairs emitted only within a
+    block, the same bounded-recall trade the shingle document-frequency
+    cap makes for n-gram Jaccard). The split is a broadcast join of the
+    per-cell counts + a hash modulo — no window sort over the hub cell,
+    which would itself be the skew bottleneck."""
     from .cache import track
 
     cents = deterministic_centroids(embeddings, n_cells, id_col, vec_col)
     assigned = track(assign_cells(embeddings, cents, id_col, vec_col))
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    n_blocks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("_n") / F.lit(max_cell_size)).cast("long"),
+    )
+    assigned = (
+        assigned.join(F.broadcast(counts), "cell")
+        .withColumn("block", F.pmod(F.xxhash64(F.col("vec_id").cast("string")),
+                                    n_blocks))
+        .drop("_n")
+    )
     a = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("id_a"),
+        F.col("cell"), F.col("block"), F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
     )
     b = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("id_b"),
+        F.col("cell"), F.col("block"), F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
     )
     return (
-        a.join(b, "cell")
+        a.join(b, ["cell", "block"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",

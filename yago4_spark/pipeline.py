@@ -65,8 +65,13 @@ def run_pipeline(
     schema: Schema,
     size: YagoSize = YagoSize.FULL,
     export_nt_dir: str | None = None,
+    statements: StatementsTable | None = None,
 ) -> PipelineResult:
-    st = StatementsTable(spark, statements_path)
+    """``statements`` overrides the plain parquet store at
+    ``statements_path`` — pass ``StatementsTable.from_table`` for a
+    bucketed store so the facts joins reuse storage partitioning."""
+    st = statements if statements is not None else StatementsTable(
+        spark, statements_path)
     cat = StageCatalog(spark, work_dir)
 
     uri_mapping = cat.get_or_create(

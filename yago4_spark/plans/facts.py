@@ -264,10 +264,11 @@ def _scan_properties(st: StatementsTable, pids: tuple[int, ...],
                      prefix: str) -> DataFrame:
     """union of per-predicate scans '{prefix}P{id}' keyed by statement
     node text (get_triples_from_wikidata_property_relation,
-    src/plan.rs:1441-1466)."""
+    src/plan.rs:1441-1466). ``stmt_key`` comes from the scan so a
+    bucketed store's storage partitioning survives to the joins."""
     keys = [f"{_PREFIX_KEYS[prefix]}{pid}" for pid in pids]
-    return st.scan_many(keys).select(
-        F.col("subject").alias("s"), F.col("object").alias("o")
+    return st.stmt_scan(keys).select(
+        "stmt_key", F.col("subject").alias("s"), F.col("object").alias("o")
     )
 
 
@@ -298,7 +299,7 @@ def statement_objects(
                 .withColumn("url", normalize_url(F.col("o.text")))
                 .where(F.col("url").isNotNull())
                 .select(
-                    F.col("s.text").alias("stmt_key"),
+                    "stmt_key",
                     typed_term(F.col("url"), F.lit(vocab.XSD_ANY_URI)).alias("object"),
                     no_sides().alias("sides"),
                 )
@@ -314,7 +315,7 @@ def statement_objects(
             out = simple.where(
                 datatype_of(F.col("o")).isin(dts)
             ).select(
-                F.col("s.text").alias("stmt_key"),
+                "stmt_key",
                 F.col("o").alias("object"),
                 no_sides().alias("sides"),
             )
@@ -332,7 +333,7 @@ def statement_objects(
                 (F.col("o.kind") == "iri")
                 & F.col("o.text").startswith(vocab.COMMONS_FILEPATH_PREFIX)
             ).select(
-                F.col("s.text").alias("stmt_key"),
+                "stmt_key",
                 F.col("o").alias("object"),
                 no_sides().alias("sides"),
             )
@@ -340,7 +341,7 @@ def statement_objects(
             simple = _scan_properties(st, shape.from_properties, simple_prefix)
             mapped = (
                 simple.where(F.col("o.kind") == "item")
-                .select(F.col("s.text").alias("stmt_key"), F.col("o.num").alias("qid"))
+                .select("stmt_key", F.col("o.num").alias("qid"))
                 .join(uri_mapping, "qid", "inner")
                 .select("stmt_key", F.col("yago").alias("obj_uri"))
             )
@@ -367,7 +368,7 @@ def _complex_join(st: StatementsTable, shape, clean_df: DataFrame,
                   complex_prefix: str, has_sides: bool = False) -> DataFrame:
     scan = _scan_properties(st, shape.from_properties, complex_prefix)
     j = scan.select(
-        F.col("s.text").alias("stmt_key"), F.col("o.text").alias("node")
+        "stmt_key", F.col("o.text").alias("node")
     ).join(clean_df, "node", "inner")
     if has_sides:
         return j.select("stmt_key", "object", "sides")
@@ -383,14 +384,16 @@ class FactsResult:
 
 
 def best_rank_statements(st: StatementsTable) -> DataFrame:
-    """stmt keys typed wikibase:BestRank (plan.rs:1080-1083)."""
+    """stmt keys typed wikibase:BestRank (plan.rs:1080-1083). Reads via
+    stmt_scan so the bucketed store's partitioning makes the best-rank
+    semi-join Exchange-free."""
     return (
-        st.scan("rdf:type")
+        st.stmt_scan(["rdf:type"])
         .where(
             (F.col("object.kind") == "iri")
             & (F.col("object.text") == vocab.WIKIBASE_BEST_RANK)
         )
-        .select(F.col("subject.text").alias("stmt_key"))
+        .select("stmt_key")
         .distinct()
     )
 
@@ -490,9 +493,10 @@ def _scan_with_sids(spark: SparkSession, st: StatementsTable,
     keys = sorted({k for k, _ in pairs})
     mapping = _sid_pairs_df(spark, pairs, "predicate_key string, sid int")
     return (
-        st.scan_many(keys)
+        st.stmt_scan(keys)
         .join(mapping, "predicate_key")
-        .select("sid", F.col("subject").alias("s"), F.col("object").alias("o"))
+        .select("sid", "stmt_key",
+                F.col("subject").alias("s"), F.col("object").alias("o"))
     )
 
 
@@ -520,7 +524,7 @@ def _branch_objects(
         if scan is None:
             return None
         j = scan.select(
-            "sid", F.col("s.text").alias("stmt_key"), F.col("o.text").alias("node")
+            "sid", "stmt_key", F.col("o.text").alias("node")
         ).join(clean_df, "node", "inner")
         if has_sides:
             return j.select("sid", "stmt_key", "object", "sides")
@@ -536,7 +540,7 @@ def _branch_objects(
             .withColumn("url", normalize_url(F.col("o.text")))
             .where(F.col("url").isNotNull())
             .select(
-                "sid", F.col("s.text").alias("stmt_key"),
+                "sid", "stmt_key",
                 typed_term(F.col("url"), F.lit(vocab.XSD_ANY_URI)).alias("object"),
                 no_sides().alias("sides"),
             )
@@ -546,7 +550,7 @@ def _branch_objects(
             (F.col("o.kind") == "iri")
             & F.col("o.text").startswith(vocab.COMMONS_FILEPATH_PREFIX)
         ).select(
-            "sid", F.col("s.text").alias("stmt_key"),
+            "sid", "stmt_key",
             F.col("o").alias("object"), no_sides().alias("sides"),
         )
     if branch == "generic_dt":
@@ -559,7 +563,7 @@ def _branch_objects(
             scan.withColumn("dt", datatype_of(F.col("o")))
             .join(allowed, ["sid", "dt"], "left_semi")
             .select(
-                "sid", F.col("s.text").alias("stmt_key"),
+                "sid", "stmt_key",
                 F.col("o").alias("object"), no_sides().alias("sides"),
             )
         )
@@ -577,7 +581,7 @@ def _branch_objects(
     sid_classes = _sid_pairs_df(spark, exp_pairs, "sid int, shape string")
     mapped = (
         scan.where(F.col("o.kind") == "item")
-        .select("sid", F.col("s.text").alias("stmt_key"), F.col("o.num").alias("qid"))
+        .select("sid", "stmt_key", F.col("o.num").alias("qid"))
         .join(uri_mapping, "qid", "inner")
         .select("sid", "stmt_key", F.col("yago").alias("obj_uri"))
     )
@@ -645,7 +649,7 @@ def build_facts(
     subj = (
         _scan_with_sids(spark, st, included, "p")
         .where(F.col("s.kind") == "item")
-        .select("sid", F.col("s.num").alias("qid"), F.col("o.text").alias("stmt_key"))
+        .select("sid", F.col("s.num").alias("qid"), "stmt_key")
         .join(best, "stmt_key", "left_semi")
         .join(uri_mapping, "qid", "inner")
         .select("sid", "stmt_key", F.col("yago").alias("subj_uri"))

@@ -109,6 +109,19 @@ class StatementsTable:
             .select("stmt_key", "predicate_key", "subject", "object")
         )
 
+    def stmt_scan(self, predicate_keys: list[str]) -> DataFrame:
+        """(predicate_key, stmt_key, subject, object) — the facts
+        pipeline's scan. On a :meth:`write_bucketed` store the stored
+        ``stmt_key`` IS the bucket column, so downstream joins on it
+        (subject↔object assembly, best-rank semi, annotations) reuse the
+        storage partitioning instead of shuffling the statement stream
+        every run; on a plain store the column is computed on the fly
+        (same values, shuffle paid per join)."""
+        df = self.df().where(F.col("predicate_key").isin(predicate_keys))
+        if "stmt_key" not in df.columns:
+            df = df.withColumn("stmt_key", self.stmt_key_col())
+        return df.select("predicate_key", "stmt_key", "subject", "object")
+
     def scan_many(self, predicate_keys: list[str]) -> DataFrame:
         return (
             self.df()
