@@ -1,9 +1,10 @@
 """Statistical differential test: the full pipeline on a seeded ~20k-
 entity synthetic slice vs the pure-Python oracle (fixtures_large.py).
 Exact set compare (P/R must be 1.0) for URI mapping, taxonomy, class
-mapping, hierarchy, shape instances, and three facts branches at volume
-— closure depth, instance thresholds, disjoint pruning, hub skew and
-sh:maxCount all active.
+mapping, hierarchy, shape instances, all 9 facts dispatch branches +
+RDF★, and the classes / simple+full types / labels / same_as output
+families at volume — closure depth, instance thresholds, disjoint
+pruning, hub skew and sh:maxCount all active.
 
 The 100k-entity version of the same check runs via
 scripts/differential_report.py (results in BASELINE_RESULTS.md).
@@ -99,8 +100,8 @@ def diff_real(spark, tmp_path_factory):
 @pytest.mark.slow
 def test_real_config_differential(diff_real):
     """Full pipeline under the real 268-shape config vs the oracle:
-    URI mapping, taxonomy, all 268 shape-instance sets, and the three
-    generated facts branches must match exactly."""
+    URI mapping, taxonomy, all 268 shape-instance sets, all generated
+    facts branches, and the 5 other output families must match exactly."""
     _, oracle, res = diff_real
     got_uri = {r["qid"]: r["yago"]
                for r in res.catalog.read("uri_mapping").collect()}

@@ -1,9 +1,11 @@
 """Scale-representative differential fixture: a seeded synthetic
 Wikidata slice (default 100k entities, ~800 classes, ~550k statements)
 plus a pure-Python oracle that independently reimplements the pipeline's
-rules (taxonomy 7-step, URI priority, shape instances, facts dispatch
-for the dates / object-range / anyURI branches, sh:maxCount) from the
-generator's ground truth.
+rules (taxonomy 7-step, URI priority, shape instances, ALL 9 facts
+dispatch branches — dates, object-range, anyURI, geo+sides, integer,
+duration, quantity+sides, commons image, sh:pattern string — plus RDF★
+annotations, sh:maxCount, and the classes / simple+full types / labels /
+same_as output families) from the generator's ground truth.
 
 The mini fixture (fixtures.py) proves each rule on hand-golden rows;
 this one stresses the same rules at volume — closure depth, instance
@@ -566,7 +568,8 @@ def statements_df(spark: SparkSession, gt: GroundTruth) -> DataFrame:
 
 # ---------------------------------------------------------------------
 # pure-Python oracle (mirrors plans/taxonomy.py, uri_mapping.py,
-# instances.py and the facts dispatch for 3 branches)
+# instances.py, all 9 facts dispatch branches + RDF★, and the classes /
+# types / labels / same_as output builders)
 # ---------------------------------------------------------------------
 
 @dataclass

@@ -97,14 +97,60 @@ def deterministic_centroids(embeddings: DataFrame, n_cells: int = 8,
     )
 
 
+def kmeans_centroids(embeddings: DataFrame, n_cells: int = 8,
+                     n_iter: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Distributed Lloyd k-means (cosine assignment + per-dimension mean
+    = spherical k-means up to normalization, which cosine ignores).
+
+    Deterministic end-to-end: seeded with the n_cells lowest-id vectors,
+    assignment ties break on cell id (assign_cells), iteration count is
+    fixed. Per iteration: one broadcast crossJoin assignment pass + one
+    posexplode/groupBy mean — both partition-parallel, centroids
+    (n_cells × dim, config-sized) collect to the driver for
+    re-broadcast. Empty cells keep their previous centroid.
+
+    On corpora with real cluster structure this concentrates each
+    cluster in one cell, so ivf_topk probing n_probe/n_cells of the data
+    holds recall@10 ≥ 0.9 (test_kmeans_ivf_recall_mixture); the
+    first-n-by-id seed alone cannot on such corpora."""
+    cents = deterministic_centroids(embeddings, n_cells, id_col, vec_col)
+    prev = {r["cell"]: list(r["cvec"]) for r in cents.collect()}
+    spark = embeddings.sparkSession
+    for _ in range(n_iter):
+        cents_df = spark.createDataFrame(
+            sorted(prev.items()), "cell int, cvec array<double>")
+        assigned = assign_cells(embeddings, cents_df, id_col, vec_col)
+        dims = assigned.select(
+            "cell",
+            F.posexplode(F.col("embedding").cast("array<double>"))
+            .alias("pos", "val"),
+        )
+        means = (
+            dims.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda x: x["m"]).alias("cvec"))
+        )
+        new = {r["cell"]: list(r["cvec"]) for r in means.collect()}
+        prev = {**prev, **new}  # empty cells keep previous centroid
+    return spark.createDataFrame(
+        sorted(prev.items()), "cell int, cvec array<double>")
+
+
 def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
              n_cells: int = 8, n_probe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """Approximate top-k: probe the n_probe cells whose centroids are
-    nearest the query, brute-force inside them."""
+    nearest the query, brute-force inside them. ``centroids`` overrides
+    the deterministic first-n seed (pass :func:`kmeans_centroids` output
+    for corpora with cluster structure)."""
     from .cache import track
 
-    cents = track(deterministic_centroids(embeddings, n_cells, id_col, vec_col))
+    cents = track(centroids if centroids is not None
+                  else deterministic_centroids(embeddings, n_cells,
+                                               id_col, vec_col))
     assigned = assign_cells(embeddings, cents, id_col, vec_col)
 
     q = F.array(*[F.lit(float(x)) for x in query])
