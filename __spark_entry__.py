@@ -270,6 +270,18 @@ def _doubled_docs(spark, sf):
     )
 
 
+def q_doc_quality(spark, sf):
+    """Composite quality score + BPE-ish token estimate per document
+    (functions/text.py quality_score / bpe_ish_token_count)."""
+    from yago4_spark.functions.text import bpe_ish_token_count, quality_score
+
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
 def q_dedup_exact(spark, sf):
     """Exact dedup (hash groupBy) over a corpus with planted duplicates."""
     from yago4_spark.operators.dedup import exact_duplicates
@@ -404,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,
+        "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -573,6 +586,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
                         ELSE 'fr' END AS lang
             FROM h
+        """,
+        "doc_quality": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS n
+                FROM documents
+            ), m AS (
+                SELECT doc_id, text, n,
+                       len(regexp_replace(text, '\s+', '', 'g')) * 1.0e0 /
+                           greatest(n, 1) AS mwl,
+                       len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) * 1.0e0 /
+                           greatest(len(text), 1) AS pr
+                FROM t
+            )
+            SELECT doc_id,
+                   round((CASE WHEN n >= 10 AND n <= 10000 THEN 1.0e0 ELSE 0.3e0 END) * 0.4e0 +
+                         (CASE WHEN mwl >= 2.0e0 AND mwl <= 12.0e0 THEN 1.0e0 ELSE 0.4e0 END) * 0.4e0 +
+                         (CASE WHEN pr <= 0.2e0 THEN 1.0e0 ELSE 0.5e0 END) * 0.2e0, 6) AS quality,
+                   (CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(
+                                  trim(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                                  '\s+'))
+                    END) +
+                   len(regexp_replace(text, '[A-Za-z0-9]+|\s+', '', 'g')) AS bpe_tokens
+            FROM m
         """,
         "dedup_exact": r"""
             WITH corpus AS (

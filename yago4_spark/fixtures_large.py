@@ -513,6 +513,8 @@ def statements_df(spark: SparkSession, gt: GroundTruth) -> DataFrame:
     iri_key = {
         "rdf:type": vocab.RDF_TYPE,
         "skos:prefLabel": vocab.SKOS_PREF_LABEL,
+        "skos:altLabel": vocab.SKOS_ALT_LABEL,
+        "schema:description": vocab.SCHEMA_DESCRIPTION,
         "schema:about": vocab.SCHEMA_ABOUT,
         "wikibase:timeValue": vocab.WIKIBASE_TIME_VALUE,
         "wikibase:timePrecision": vocab.WIKIBASE_TIME_PRECISION,

@@ -106,23 +106,28 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = 16) -> DataFrame:
     """(doc_id, sig array<string>): minhash_i = min(md5(i || ':' ||
-    shingle)) — portable (md5), deterministic, one aggregation."""
+    shingle)) — portable (md5), deterministic.
+
+    One groupBy with ``num_hashes`` MIN aggregates (not an explode of
+    num_hashes rows per shingle): partial aggregation collapses each doc
+    to a single row per map partition, so the shuffle carries one
+    num_hashes-wide row per (doc, partition) instead of
+    num_hashes × shingles rows. The md5 inputs and min semantics are
+    unchanged, so signatures are bit-identical to the exploded form."""
     sh = shingles(docs, id_col, text_col, n)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {num_hashes - 1}), "
-                "i -> struct(i as h, md5(concat(cast(i as string), ':', shingle)) as v))"
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.h").alias("h"), F.col("g.v").alias("v"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+        .alias(f"_mh{i}")
+        for i in range(num_hashes)
+    ]
     return (
-        seeded.groupBy("doc_id", "h")
-        .agg(F.min("v").alias("mh"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("h", "mh"))).alias("_s"))
-        .select("doc_id", F.expr("transform(_s, x -> x.mh)").alias("sig"))
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)])
+            .alias("sig"),
+        )
     )
 
 
@@ -159,38 +164,30 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """(doc_id, simhash long): classic simhash over unigram tokens with
     md5-derived bit vectors — each bit b weighted +1/-1 by token presence
     count; bit set when the sum is positive."""
-    toks = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-                    .alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("h", F.md5(F.col("tok")))
-    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("tok"),
+    ).select("doc_id", F.md5(F.col("tok")).alias("h"))
     # bit b of md5: low bit of hex nibble b — tested via digit membership
     # ('1','3',...,'f'), which is portable SQL (no conv/bit ops needed for
-    # the DuckDB oracle twin)
-    bit_contrib = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bits - 1}), "
-                "b -> struct(b as bit, "
-                "case when substring(h, b + 1, 1) in "
-                "('1','3','5','7','9','b','d','f') "
-                "then w else -w end as c))"
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.bit").alias("bit"), F.col("g.c").alias("c"))
-    return (
-        bit_contrib.groupBy("doc_id", "bit")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0,
-                       F.pow(F.lit(2.0), F.col("bit")).cast("long"))
-                .otherwise(F.lit(0))
-            ).alias("simhash")
-        )
-    )
+    # the DuckDB oracle twin). ONE groupBy with ``bits`` SUM aggregates:
+    # summing ±1 per token occurrence equals the classic ±count(tok) per
+    # distinct token, so no (doc, tok) pre-aggregation is needed, and
+    # map-side partial agg ships one bits-wide row per (doc, partition)
+    # instead of bits × tokens rows — one shuffle total.
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+    sums = [
+        F.sum(
+            F.when(F.substring("h", b + 1, 1).isin(*odd), F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"_s{b}")
+        for b in range(bits)
+    ]
+    fused = toks.groupBy("doc_id").agg(*sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return fused.select("doc_id", sim.alias("simhash"))

@@ -118,6 +118,7 @@ SCHEMA_STRUCTURED_VALUE = SCHEMA + "StructuredValue"
 SCHEMA_SERIES = SCHEMA + "Series"
 
 SKOS_PREF_LABEL = SKOS + "prefLabel"
+SKOS_ALT_LABEL = SKOS + "altLabel"
 
 WIKIBASE_ITEM = WIKIBASE + "Item"
 WIKIBASE_BEST_RANK = WIKIBASE + "BestRank"
