@@ -58,8 +58,9 @@ def test_no_python_in_hot_paths(spark, qname):
 
 
 def test_linking_single_exchange_for_agg_and_join(spark):
-    """link_entities shuffles once on (doc_id, span_idx); the argmax agg
-    and containment join reuse that exchange."""
+    """The whole linking pipeline shuffles ONCE, on the raw span text
+    (doc_id): the argmax agg and the containment window both reuse that
+    clustering — no exchange of the (wider) candidate stream."""
     from yago4_spark.operators.linking import extract_and_link
     from yago4_spark.sources.documents import documents_df, qid_dictionary_df
 
@@ -68,7 +69,7 @@ def test_linking_single_exchange_for_agg_and_join(spark):
     # dictionary joins broadcast; only hash-partition exchanges remain
     assert "BroadcastHashJoin" in plan
     n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_exchanges <= 2, f"too many shuffles: {n_exchanges}\n{plan[:2000]}"
+    assert n_exchanges <= 1, f"too many shuffles: {n_exchanges}\n{plan[:2000]}"
 
 
 def test_grouped_facts_scans_partition_pruned(spark, tmp_path):

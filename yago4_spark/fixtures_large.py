@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import vocab
-from .functions.iri import encode_iri_path_py
+from .functions.iri import encode_iri_path_py, percent_decode_py
 from .plans.shapes import Schema, sample_schema
 
 ENWIKI = vocab.ENWIKI_ARTICLE_PREFIX
@@ -72,6 +72,31 @@ class GroundTruth:
     schema: Schema = field(default_factory=lambda: sample_schema(10))
 
 
+# ~12% of enwiki titles are "hard": percent-escapes (valid UTF-8 ones
+# decode then re-encode, src/plan.rs:302-309; invalid ones pass through
+# verbatim in both the percent-encoding crate and urllib.unquote), raw
+# unicode, and reserved chars from the encode_iri_path charset. The
+# same_as family must keep them VERBATIM (prefix replace only) while
+# uri_mapping decodes+re-encodes — both stressed at volume.
+_HARD_TITLES = [
+    "Caf%C3%A9_{}",      # valid UTF-8 escape → decodes to é, re-encodes
+    "Title%20no_{}",     # %20 → space → re-encoded %20
+    "Zürich_{}",    # raw latin unicode
+    "東京_{}",   # CJK
+    "Title_({})",        # parens
+    "O'Brien_{}",        # apostrophe
+    "A/B_{}",            # slash → %2F on encode
+    "100%25_{}",         # escaped percent → '%' → re-encode %25
+    "50%_off_{}",        # INVALID escape: both decoders pass it through
+]
+
+
+def _mk_title(rng, plain: str, idx) -> str:
+    if rng.random() < 0.12:
+        return _HARD_TITLES[int(rng.integers(0, len(_HARD_TITLES)))].format(idx)
+    return plain
+
+
 def generate(n_entities: int = 100_000, n_classes: int = 800,
              seed: int = 42, schema: Schema | None = None) -> GroundTruth:
     rng = np.random.default_rng(seed)
@@ -113,7 +138,7 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
     class_label = {}
     for q in cls:
         if rng.random() < 0.7:
-            class_sitelink[q] = f"Class_{q}"
+            class_sitelink[q] = _mk_title(rng, f"Class_{q}", q)
         if rng.random() < 0.9:
             class_label[q] = f"ClassLabel{q}"
 
@@ -150,7 +175,7 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         if r < 0.8:
             ent_label[e] = f"Ent{e}"
         if r < 0.3:
-            ent_sitelink[e] = f"Title_{e}"
+            ent_sitelink[e] = _mk_title(rng, f"Title_{e}", e)
 
     # ---- facts ground truth -------------------------------------------
     # birth dates for a sample of entities (the pipeline decides which
@@ -656,7 +681,7 @@ def compute_oracle(gt: GroundTruth) -> Oracle:
         if q in from_classes:
             uri[q] = gt.root_targets[q]
         elif q in sitelinks:
-            uri[q] = Y + encode_iri_path_py(sitelinks[q])
+            uri[q] = Y + encode_iri_path_py(percent_decode_py(sitelinks[q]))
         elif q in labels_en:
             uri[q] = Y + encode_iri_path_py(labels_en[q]) + f"_Q{q}"
         else:

