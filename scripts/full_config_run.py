@@ -6,6 +6,9 @@ over a write_bucketed store, reporting the Exchange-count drop on the
 facts plan.
 
 Usage: python scripts/full_config_run.py [workdir] [--bucketed]
+       [--large N]   # use the fixtures_large N-entity slice instead of
+                     # the mini fixture — the volume probe for the
+                     # bucketed store (ROADMAP r3 #5)
 """
 
 from __future__ import annotations
@@ -34,15 +37,31 @@ def exchanges(df) -> int:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    bucketed = "--bucketed" in sys.argv[1:]
+    argv = sys.argv[1:]
+    large_n = 0
+    if "--large" in argv:
+        i = argv.index("--large")
+        large_n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
+    bucketed = "--bucketed" in argv
     base = args[0] if args else tempfile.mkdtemp(prefix="fullcfg-")
     shutil.rmtree(base, ignore_errors=True)
     spark = get_spark(app_name="full-config-run")
     schema = load_schema([f"{REF}/{f}" for f in FILES], min_instances=2)
     print(f"config: {len(schema.node_shapes)} node shapes, "
           f"{len(schema.property_shapes)} property shapes")
-    write_mini_wikidata(spark, f"{base}/statements")
+    if large_n:
+        from yago4_spark.fixtures_large import generate, statements_df
+        t0 = time.time()
+        gt = generate(n_entities=large_n,
+                      n_classes=max(large_n // 125, 50), schema=schema)
+        src_df = statements_df(spark, gt)
+        StatementsTable.write(src_df, f"{base}/statements")
+        print(f"large fixture ({large_n} entities): {time.time() - t0:.1f}s")
+    else:
+        write_mini_wikidata(spark, f"{base}/statements")
+        src_df = mini_wikidata_df(spark)
     st = None
     if bucketed:
         table = "stmts_bucketed_fullcfg"
@@ -50,8 +69,8 @@ def main() -> None:
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
         t0 = time.time()
-        StatementsTable.write_bucketed(mini_wikidata_df(spark), table,
-                                       n_buckets=8)
+        StatementsTable.write_bucketed(src_df, table,
+                                       n_buckets=32 if large_n else 8)
         print(f"bucketed store build: {time.time() - t0:.1f}s "
               "(the shuffle paid once at load)")
         st = StatementsTable.from_table(spark, table)
