@@ -37,9 +37,11 @@ HEADLINE = [
     "orders_maxcount_filter",
     "top_orders_per_customer",
     "events_hourly",
+    "events_sessions",
     "closure_custkey_tree",
     "doc_text_stats",
     "doc_lang_id",
+    "doc_quality",
     "doc_simhash",
     "dedup_exact",
     "dedup_minhash_lsh",
