@@ -60,10 +60,8 @@ def transitive_closure(
         next_nodes = (
             frontier.join(edges, frontier["node"] == edges["src"], "inner")
             .select(F.col("dst").alias("node"))
+            .distinct()
         )
-        # no .distinct() before subtract: EXCEPT DISTINCT dedups in its
-        # own shuffle — a prior distinct is a second full exchange of
-        # the same rows every iteration
         frontier = next_nodes.subtract(visited).localCheckpoint(eager=True)
         if on_iteration is not None:
             on_iteration(i, frontier.count())
@@ -101,8 +99,8 @@ def transitive_closure_pair(
         next_pairs = (
             frontier.join(edges, frontier["node"] == edges["src"], "inner")
             .select("key", F.col("dst").alias("node"))
+            .distinct()
         )
-        # no .distinct(): subtract dedups (see transitive_closure)
         frontier = next_pairs.subtract(visited).localCheckpoint(eager=True)
         if frontier.isEmpty():
             edges.unpersist()
