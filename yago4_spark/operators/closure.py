@@ -57,6 +57,11 @@ def transitive_closure(
     frontier = seeds.localCheckpoint(eager=True)
     visited = frontier  # union over checkpointed frontiers, never re-written
     for i in range(max_iterations):
+        # the .distinct() is NOT redundant with subtract's dedup: distinct
+        # runs with map-side partial aggregation, collapsing hub fan-in
+        # duplicates BEFORE the shuffle, whereas EXCEPT's anti-join would
+        # shuffle the raw duplicated join output (measured ~25% slower
+        # without it on the sf0.1 custkey tree)
         next_nodes = (
             frontier.join(edges, frontier["node"] == edges["src"], "inner")
             .select(F.col("dst").alias("node"))
