@@ -340,6 +340,24 @@ def q_ann_ivf_topk(spark, sf):
                     n_cells=8, n_probe=4)
 
 
+_ANN_BATCH = [
+    (0, [1.0] + [0.0] * 63),
+    (1, [0.0] * 7 + [1.0] + [0.0] * 56),
+    (2, [0.5] * 16 + [0.0] * 48),
+]
+
+
+def q_ann_ivf_topk_batch(spark, sf):
+    """Batched IVF top-k: one cell-assignment job amortized across a
+    3-query batch (the query-workload shape of ivf_topk — VERDICT r03
+    item 3). Oracle replicates the assignment + per-query probe + per-
+    query top-k in SQL; centroids use the oracle-simple first-n seed."""
+    from yago4_spark.operators.similarity import ivf_topk_batch
+
+    return ivf_topk_batch(_t(spark, sf, "embeddings"), _ANN_BATCH, k=5,
+                          n_cells=8, n_probe=4)
+
+
 _NEAR_DUP_MAX_BLOCK = 40  # small enough that sf0.01's 500 vectors split
 
 
@@ -423,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_topk_batch": q_ann_ivf_topk_batch,
         "embedding_near_dup": q_embedding_near_dup,
         "mention_candidates": q_mention_candidates,
     }
@@ -724,6 +743,46 @@ def oracle_sql() -> dict[str, str]:
                        v, {list(map(float, _ANN_QUERY))}), 6) AS sim
             FROM assigned WHERE cell IN (SELECT cell FROM probe)
             ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_topk_batch": f"""
+            WITH cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+                       CAST(embedding AS DOUBLE[]) AS cvec
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id ASC LIMIT 8)
+            ), sims AS (
+                SELECT e.vec_id, c.cell,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS csim,
+                       CAST(e.embedding AS DOUBLE[]) AS v
+                FROM embeddings e CROSS JOIN cents c
+            ), assigned AS (
+                SELECT vec_id, cell, v FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY csim DESC, cell ASC) rn
+                    FROM sims) WHERE rn = 1
+            ), queries(query_id, qvec) AS (VALUES
+                {", ".join(f"({qid}, CAST({list(map(float, qv))} AS DOUBLE[]))"
+                           for qid, qv in _ANN_BATCH)}
+            ), probe AS (
+                SELECT query_id, qvec, cell FROM (
+                    SELECT q.query_id, q.qvec, c.cell,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY round(list_cosine_similarity(
+                                   c.cvec, q.qvec), 6) DESC, c.cell ASC) rn
+                    FROM queries q CROSS JOIN cents c) WHERE rn <= 4
+            ), scored AS (
+                SELECT p.query_id, a.vec_id,
+                       round(list_cosine_similarity(a.v, p.qvec), 6) AS sim
+                FROM assigned a JOIN probe p ON a.cell = p.cell
+            )
+            SELECT query_id, vec_id, sim FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id ASC) rn
+                FROM scored) WHERE rn <= 5
         """,
         "embedding_near_dup": f"""
             WITH blocked AS (

@@ -45,7 +45,10 @@ HEADLINE = [
     "doc_simhash",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
     "mention_candidates",
 ]
 

@@ -97,6 +97,37 @@ def deterministic_centroids(embeddings: DataFrame, n_cells: int = 8,
     )
 
 
+def _farthest_point_seed(sample: list[tuple], n_cells: int) -> list[list[float]]:
+    """Greedy max-min cosine seeding over a driver-side sample.
+    Deterministic: starts at the lowest-id sample vector; each next seed
+    is the sample point with the smallest max-cosine to the chosen set
+    (ties → lowest id). Zero-norm vectors are skipped as seeds."""
+    import numpy as np
+
+    if not sample:
+        return []
+    sample = sorted(sample, key=lambda t: t[0])
+    mat = np.asarray([t[1] for t in sample], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    ok = norms > 0
+    unit = np.where(ok[:, None], mat / np.where(ok, norms, 1.0)[:, None], 0.0)
+    chosen = [int(np.argmax(ok))] if ok.any() else [0]
+    # max cosine to the chosen set so far; non-unit rows never win argmin
+    best = unit @ unit[chosen[0]]
+    best[~ok] = np.inf
+    for _ in range(1, min(n_cells, int(ok.sum()) or 1)):
+        nxt = int(np.argmin(best))  # argmin is first-index on ties → lowest id
+        if not np.isfinite(best[nxt]):
+            break
+        chosen.append(nxt)
+        best = np.maximum(best, unit @ unit[nxt])
+        best[chosen] = np.inf
+    out = [list(map(float, mat[i])) for i in chosen]
+    while len(out) < n_cells and out:
+        out.append(out[len(out) % len(chosen)])  # degenerate corpus: repeat
+    return out[:n_cells]
+
+
 def kmeans_centroids(embeddings: DataFrame, n_cells: int = 8,
                      n_iter: int = 5, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -110,12 +141,31 @@ def kmeans_centroids(embeddings: DataFrame, n_cells: int = 8,
     (n_cells × dim, config-sized) collect to the driver for
     re-broadcast. Empty cells keep their previous centroid.
 
+    Seeding is deterministic farthest-point (k-means++-style, greedy
+    max-min cosine distance) over a hash-ordered sample of ≤1024
+    vectors: a first-n-by-id seed on an id-sorted corpus can land every
+    seed inside ONE true cluster, from which Lloyd cannot escape (two
+    clusters merge into one cell — the local minimum
+    test_near_dup_kmeans_blocking guards against). The sample is
+    config-sized (≤1024 × dim), so the driver-side greedy pass is not a
+    scale concern.
+
     On corpora with real cluster structure this concentrates each
     cluster in one cell, so ivf_topk probing n_probe/n_cells of the data
     holds recall@10 ≥ 0.9 (test_kmeans_ivf_recall_mixture); the
     first-n-by-id seed alone cannot on such corpora."""
-    cents = deterministic_centroids(embeddings, n_cells, id_col, vec_col)
-    prev = {r["cell"]: list(r["cvec"]) for r in cents.collect()}
+    sample = [
+        (r["_i"], list(r["_v"]))
+        for r in embeddings.select(
+            F.col(id_col).alias("_i"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")).asc(),
+                 F.col(id_col).asc())
+        .limit(1024)
+        .collect()
+    ]
+    prev = {i: v for i, v in enumerate(_farthest_point_seed(sample, n_cells))}
     spark = embeddings.sparkSession
     for _ in range(n_iter):
         cents_df = spark.createDataFrame(
@@ -173,12 +223,77 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
     )
 
 
+def ivf_topk_batch(embeddings: DataFrame, queries, k: int = 10,
+                   n_cells: int = 8, n_probe: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: DataFrame | None = None) -> DataFrame:
+    """Batched IVF top-k: ONE cell-assignment job amortized across every
+    query in the batch (``ivf_topk`` re-assigns per call — fine for a
+    single probe, wrong shape for a query workload at 100 TB).
+
+    ``queries``: list[(query_id, vector)] or a DataFrame
+    (query_id, qvec). Returns (query_id, vec_id, sim), top-k per query,
+    deterministic (sim DESC, vec_id ASC).
+
+    Plan: centroids broadcast → one assignment pass over the corpus
+    (the only full-data job) → per-query probe cells picked on the
+    query×centroid table (Q×n_cells rows, config-sized) → probes
+    broadcast-joined to the assigned corpus on cell (no shuffle of the
+    corpus side beyond the assignment) → per-query top-k window over
+    only the probed fraction."""
+    from .cache import track
+
+    spark = embeddings.sparkSession
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in queries],
+            "query_id int, qvec array<double>")
+    cents = track(centroids if centroids is not None
+                  else deterministic_centroids(embeddings, n_cells,
+                                               id_col, vec_col))
+    assigned = assign_cells(embeddings, cents, id_col, vec_col)
+
+    qc = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qvec", "cell",
+        F.round(cosine(F.col("cvec").cast("array<double>"),
+                       F.col("qvec").cast("array<double>")), 6).alias("s"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("s").desc(),
+                                                F.col("cell").asc())
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id",
+        F.round(cosine(F.col("embedding").cast("array<double>"),
+                       F.col("qvec").cast("array<double>")), 6).alias("sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                                F.col("vec_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= k)
+        .select("query_id", "vec_id", "sim")
+    )
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              n_cells: int = 8, max_cell_size: int = 4096,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             centroids: DataFrame | None = None) -> DataFrame:
     """Near-duplicate vector pairs: block by IVF cell, all-pairs only
     within a cell, cosine >= threshold. Returns (id_a, id_b, sim).
+
+    Blocking centroids default to :func:`kmeans_centroids`: on lumpy
+    real corpora a first-n-by-id seed concentrates mass in few cells and
+    leans on the sub-split cap to bound work, which costs recall (pairs
+    split across blocks are never compared); k-means balances the cells
+    so the cap stays a safety net instead of the primary partitioner
+    (test_near_dup_kmeans_blocking measures the cap engaging far less).
+    Pass ``centroids=deterministic_centroids(...)`` for the cheap seed.
 
     Hub-cell cap: real embedding distributions are lumpy — one dominant
     cell would otherwise run a single O(n²) task. Cells larger than
@@ -190,7 +305,9 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     which would itself be the skew bottleneck."""
     from .cache import track
 
-    cents = deterministic_centroids(embeddings, n_cells, id_col, vec_col)
+    cents = (centroids if centroids is not None
+             else kmeans_centroids(embeddings, n_cells, id_col=id_col,
+                                   vec_col=vec_col))
     assigned = track(assign_cells(embeddings, cents, id_col, vec_col))
     counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
     n_blocks = F.greatest(
