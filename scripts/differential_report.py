@@ -121,6 +121,38 @@ def main() -> None:
         got = spo(res.outputs[out_name])
         rows.append((out_name, *pr(got, expected), len(got)))
 
+    # schema/shapes NT round-trip (VERDICT r03 item 6): emit → serialize
+    # through the real NT sink → re-parse through plans/ttl.py →
+    # reconstruct, scored against the config-derived surface
+    from yago4_spark.plans.outputs import (
+        build_yago_schema_triples,
+        build_yago_shapes_triples,
+    )
+    from yago4_spark.plans.roundtrip import (
+        schema_surface_from_config,
+        schema_surface_from_graph,
+        shapes_surface_from_config,
+        shapes_surface_from_graph,
+    )
+    from yago4_spark.plans.ttl import parse_turtle
+    from yago4_spark.sources.ntriples import triples_to_nt_lines
+
+    def nt_text(df):
+        return "\n".join(r["value"]
+                         for r in triples_to_nt_lines(df).collect())
+
+    sch = gt.schema
+    got_shapes = shapes_surface_from_graph(
+        parse_turtle(nt_text(build_yago_shapes_triples(spark, sch))))
+    rows.append(("yago_shapes (NT round-trip)",
+                 *pr(got_shapes, shapes_surface_from_config(sch)),
+                 len(got_shapes)))
+    got_schema = schema_surface_from_graph(
+        parse_turtle(nt_text(build_yago_schema_triples(spark, sch))))
+    rows.append(("yago_schema (NT round-trip)",
+                 *pr(got_schema, schema_surface_from_config(sch)),
+                 len(got_schema)))
+
     n_stmt = len(gt.statements)
     cfg = ("REAL 268-shape reference config" if use_real
            else "sample_schema (8 shapes)")
@@ -136,7 +168,8 @@ def main() -> None:
         f"the taxonomy 7-step, URI priority, shape instances, all 9 "
         f"facts dispatch branches + RDF★, and the classes / simple+full "
         f"types / labels / same_as output families independently of the "
-        f"Spark plans. "
+        f"Spark plans; the yago_schema / yago_shapes rows score the NT "
+        f"serialize→re-parse→reconstruct round trip against the config. "
         f"Pipeline wall: {t_pipe:.0f}s (local[32]); oracle+gen: {t_gen:.0f}s.",
         "",
         "| output | precision | recall | spark rows |",

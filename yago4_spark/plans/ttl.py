@@ -11,6 +11,9 @@ small Turtle-subset parser sufficient for that config surface:
 - anonymous blank nodes ``[ ... ]`` (used by sh:property)
 - RDF collections ``( ... )`` (used by sh:or)
 - string / long-string (``\"\"\"...\"\"\"``) / integer / boolean literals
+- labeled blank nodes ``_:label`` (so the pipeline's own N-Triples
+  output re-parses — the schema/shapes round-trip oracle,
+  tests/test_shapes_roundtrip.py)
 
 Multi-file load mirrors ``Schema::open()`` (src/schema.rs:68-74): all
 config files merge into ONE graph — schema.ttl supplies the rdfs:Class /
@@ -54,6 +57,22 @@ _TOKEN = re.compile(
     """,
     re.VERBOSE,
 )
+
+_ESCAPE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|[tbnrf\"'\\])")
+_ESCAPE_MAP = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+               '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unescape(raw: str) -> str:
+    """Turtle/N-Triples string unescaping (ECHAR + UCHAR)."""
+    def sub(m: re.Match) -> str:
+        e = m.group(1)
+        if e[0] in "uU":
+            return chr(int(e[1:], 16))
+        return _ESCAPE_MAP[e]
+
+    return _ESCAPE.sub(sub, raw)
+
 
 RDF_FIRST = vocab.RDF_FIRST
 RDF_REST = vocab.RDF_REST
@@ -146,7 +165,7 @@ class TurtleParser:
                 self._parse_node()  # the datatype IRI
             elif nxt is not None and nxt.group("langtag"):
                 self._next()
-            return Node("literal", raw.replace('\\"', '"'))
+            return Node("literal", _unescape(raw))
         if t.group("a"):
             return Node("iri", vocab.RDF_TYPE)
         if t.group("boolean"):
@@ -155,6 +174,8 @@ class TurtleParser:
             return Node("literal", t.group("number"))
         if t.group("local") is not None and t.group(0).find(":") != -1:
             prefix = t.group("pname") or ""
+            if prefix == "_":  # labeled blank node (N-Triples `_:label`)
+                return Node("blank", f"_:{t.group('local')}")
             base = self.prefixes.get(prefix)
             if base is None:
                 raise ValueError(f"unknown prefix {prefix!r}")
