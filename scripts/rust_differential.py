@@ -14,7 +14,26 @@ layer is std-only:
     string_name               src/plan.rs:2031-2047  (blank-node labels)
     convert_duration_quantity src/plan.rs:1578-1630  (i128 + sign quirk)
     convert_integer_quantity  src/plan.rs:1633-1641  (i64 range gate)
+    convert_time              src/plan.rs:1498-1524  (precision dispatch;
+                              chrono formatting shimmed, see below)
     f64 `{}` Display          std (model.rs:245, plan.rs:1544)
+    NT literal escaping       src/model.rs:226-266 → rio_api Literal
+                              Display (spec-implemented, see below)
+
+Two families use a shim instead of pure extraction, because their Rust
+side lives in unreachable crates:
+
+- ``convert_time``'s BODY is extracted verbatim (the precision dispatch
+  and format strings are the reference's own code); only chrono's
+  ``DateTime<FixedOffset>`` is replaced by a std struct implementing
+  the exact documented chrono semantics for the three format strings
+  the body uses (%Y zero-pads |year| to 4 digits, keeps '-', adds '+'
+  for years ≥ 10000) and ``to_rfc3339`` (offset always ±HH:MM, never
+  'Z'). Corpus domain = Wikidata dump lexical space (second precision,
+  no fractional seconds).
+- NT literal escaping: rio's Display escapes exactly {'"', '\\', LF,
+  CR} per the N-Triples spec — the 4-line match below IS that spec,
+  written out (nothing of rio is copied).
 
 This script extracts those function bodies VERBATIM from the read-only
 reference tree at run time (nothing is vendored into this repo), wraps
@@ -53,6 +72,7 @@ _FNS = (
     "string_name",
     "convert_duration_quantity",
     "convert_integer_quantity",
+    "convert_time",
 )
 
 # ---------------------------------------------------------------------------
@@ -94,6 +114,56 @@ use std::io::{self, BufRead, Write as IoWrite};
 use std::iter::once;
 use std::str::FromStr;
 
+// std stand-in for chrono::DateTime<FixedOffset>, restricted to the
+// three format strings convert_time uses plus to_rfc3339, implementing
+// chrono's documented semantics: %Y zero-pads |year| to 4 digits and
+// prints '+' for years >= 10000; to_rfc3339 always renders the offset
+// as +HH:MM / -HH:MM (never 'Z'); no fractional seconds in the corpus.
+#[derive(Clone, Debug, PartialEq)]
+struct DateTime {
+    y: i64,
+    mo: u32,
+    d: u32,
+    h: u32,
+    mi: u32,
+    s: u32,
+    off_min: i32,
+}
+
+impl DateTime {
+    fn fmt_year(&self) -> String {
+        if self.y >= 10000 {
+            format!("+{}", self.y)
+        } else if self.y >= 0 {
+            format!("{:04}", self.y)
+        } else {
+            format!("-{:04}", -self.y)
+        }
+    }
+    fn format(&self, fmt: &str) -> String {
+        match fmt {
+            "%Y" => self.fmt_year(),
+            "%Y-%m" => format!("{}-{:02}", self.fmt_year(), self.mo),
+            "%Y-%m-%d" => {
+                format!("{}-{:02}-{:02}", self.fmt_year(), self.mo, self.d)
+            }
+            _ => panic!("unsupported format {}", fmt),
+        }
+    }
+    fn to_rfc3339(&self) -> String {
+        let (sign, off) = if self.off_min < 0 {
+            ('-', -self.off_min)
+        } else {
+            ('+', self.off_min)
+        };
+        format!(
+            "{}-{:02}-{:02}T{:02}:{:02}:{:02}{}{:02}:{:02}",
+            self.fmt_year(), self.mo, self.d, self.h, self.mi, self.s,
+            sign, off / 60, off % 60
+        )
+    }
+}
+
 #[derive(Clone, Debug, PartialEq)]
 enum YagoTerm {
     WikidataItem(u32),
@@ -101,6 +171,7 @@ enum YagoTerm {
     StringLiteral(String),
     IntegerLiteral(i64),
     DecimalLiteral(String),
+    DateTimeLiteral(DateTime),
     LanguageTaggedString(String, String),
     TypedLiteral(String, String),
 }
@@ -123,12 +194,22 @@ const WD_Q7727: W = W(7727);
 const WD_Q25235: W = W(25235);
 const WD_Q573: W = W(573);
 const WD_Q199: W = W(199);
+const WD_Q1985727: W = W(1985727);
 
 struct N {
     iri: &'static str,
 }
 const XSD_DURATION: N = N {
     iri: "http://www.w3.org/2001/XMLSchema#duration",
+};
+const XSD_G_YEAR: N = N {
+    iri: "http://www.w3.org/2001/XMLSchema#gYear",
+};
+const XSD_G_YEAR_MONTH: N = N {
+    iri: "http://www.w3.org/2001/XMLSchema#gYearMonth",
+};
+const XSD_DATE: N = N {
+    iri: "http://www.w3.org/2001/XMLSchema#date",
 };
 """
 
@@ -186,6 +267,53 @@ fn main() {
                     Some(t) => format!("OTHER:{}", t),
                     None => "NONE".to_owned(),
                 }
+            }
+            "ctime" => {
+                let mut it = rest.split('\t');
+                let mut n = || it.next().unwrap().parse::<i64>().unwrap();
+                let dt = DateTime {
+                    y: n(), mo: n() as u32, d: n() as u32,
+                    h: n() as u32, mi: n() as u32, s: n() as u32,
+                    off_min: n() as i32,
+                };
+                let prec = n();
+                let cal = n() as u32;
+                match convert_time(
+                    YagoTerm::DateTimeLiteral(dt),
+                    YagoTerm::IntegerLiteral(prec),
+                    YagoTerm::WikidataItem(cal),
+                ) {
+                    Some(YagoTerm::TypedLiteral(v, dt)) => {
+                        format!("{}\t{}", v, dt)
+                    }
+                    Some(YagoTerm::DateTimeLiteral(t)) => format!(
+                        "{}\thttp://www.w3.org/2001/XMLSchema#dateTime",
+                        t.to_rfc3339()
+                    ),
+                    Some(t) => format!("OTHER:{}", t),
+                    None => "NONE".to_owned(),
+                }
+            }
+            "ntesc" => {
+                // hex-decoded UTF-8 in, N-Triples-escaped literal body
+                // out. This 4-arm match IS the N-Triples spec escape set
+                // that rio's Literal Display implements (model.rs:241).
+                let bytes: Vec<u8> = (0..rest.len() / 2)
+                    .map(|i| u8::from_str_radix(&rest[2 * i..2 * i + 2], 16)
+                        .unwrap())
+                    .collect();
+                let s = String::from_utf8(bytes).unwrap();
+                let mut o = String::new();
+                for c in s.chars() {
+                    match c {
+                        '"' => o.push_str("\\\""),
+                        '\\' => o.push_str("\\\\"),
+                        '\n' => o.push_str("\\n"),
+                        '\r' => o.push_str("\\r"),
+                        c => o.push(c),
+                    }
+                }
+                o
             }
             _ => panic!("unknown op {}", op),
         };
@@ -355,6 +483,70 @@ def quantity_corpus(seed: int = 19) -> list[tuple[str, int]]:
 # ---------------------------------------------------------------------------
 
 
+def time_corpus(n: int = 2500, seed: int = 23) -> list[tuple]:
+    """(y, mo, d, h, mi, s, off_min, precision, calendar_qid) over the
+    Wikidata dump lexical domain. Negative years, year 0, years >= 10000,
+    non-UTC offsets, every precision 0-15, Julian calendar rejections."""
+    rng = random.Random(seed)
+    greg, julian = 1985727, 1985786
+    out = [
+        (1952, 3, 11, 0, 0, 0, 0, 11, greg),
+        (-427, 1, 1, 0, 0, 0, 0, 9, greg),       # classical antiquity
+        (-1, 12, 31, 23, 59, 59, 0, 11, greg),   # year -1 boundary
+        (0, 1, 1, 0, 0, 0, 0, 9, greg),          # year zero (proleptic)
+        (-9999, 1, 1, 0, 0, 0, 0, 9, greg),
+        (9999, 12, 31, 0, 0, 0, 0, 10, greg),
+        (10000, 1, 1, 0, 0, 0, 0, 9, greg),      # chrono '+' threshold
+        (123456, 6, 15, 0, 0, 0, 0, 14, greg),
+        (2020, 2, 29, 12, 30, 45, 90, 14, greg),  # +01:30 offset
+        (2020, 2, 29, 12, 30, 45, -330, 14, greg),  # -05:30 offset
+        (1066, 10, 14, 0, 0, 0, 0, 11, julian),  # julian → dropped
+        (2001, 1, 1, 0, 0, 0, 0, 12, greg),      # unsupported precision
+    ]
+    for _ in range(n):
+        y = rng.choice([rng.randrange(-9999, 10000),
+                        rng.randrange(-200000, 200000),
+                        rng.randrange(1000, 2100)])
+        out.append((
+            y, rng.randrange(1, 13), rng.randrange(1, 29),
+            rng.randrange(24), rng.randrange(60), rng.randrange(60),
+            rng.choice([0, 0, 0, 60, -60, 330, -330, 765]),
+            rng.choice([0, 7, 8, 9, 9, 10, 10, 11, 11, 12, 13, 14, 14, 15]),
+            rng.choice([greg, greg, greg, julian]),
+        ))
+    return out
+
+
+def _time_lexical(y: int, mo: int, d: int, h: int, mi: int, s: int,
+                  off_min: int) -> str:
+    """Dump-canonical RFC3339 lexical: |year| zero-padded to 4 with sign,
+    UTC as 'Z', other offsets as ±HH:MM."""
+    ys = f"-{-y:04d}" if y < 0 else f"{y:04d}"
+    if off_min == 0:
+        off = "Z"
+    else:
+        sign, a = ("-", -off_min) if off_min < 0 else ("+", off_min)
+        off = f"{sign}{a // 60:02d}:{a % 60:02d}"
+    return f"{ys}-{mo:02d}-{d:02d}T{h:02d}:{mi:02d}:{s:02d}{off}"
+
+
+def nt_corpus(n: int = 4000, seed: int = 29) -> list[str]:
+    """Adversarial literal bodies for the NT escape family: the 4 escape
+    chars alone / doubled / interleaved, other C0 controls (NOT escaped
+    by the spec), tabs, unicode, long backslash runs."""
+    rng = random.Random(seed)
+    out = ['', '"', '\\', '\n', '\r', '\t', '\\\\', '\\"', '"\\"',
+           'a"b\\c\nd\re\tf', '\\n', '\\r', '""""', "\r\n" * 3,
+           "\x00\x01\x1f\x7f", "café 東京 \U0001F600",
+           "\\" * 17, 'ends with backslash\\', '"starts with quote',
+           "line1\nline2\rline3"]
+    chars = list('abc"\\\n\r\t é中') + [chr(c) for c in range(1, 32)]
+    for _ in range(n):
+        out.append("".join(rng.choice(chars)
+                           for _ in range(rng.randrange(0, 30))))
+    return out
+
+
 def _hex(v: float) -> str:
     return format(struct.unpack("<Q", struct.pack("<d", v))[0], "x")
 
@@ -407,6 +599,20 @@ def compare_all(binary: Path) -> dict:
           [duration_py(a, u) for a, u in q])
     check("integer_quantity", q, [f"intq\t{a}\t{u}" for a, u in q],
           [integer_quantity_py(a, u) for a, u in q])
+
+    from yago4_spark.functions.values import convert_time_py
+    t = time_corpus()
+    check("convert_time", t,
+          ["ctime\t" + "\t".join(str(x) for x in row) for row in t],
+          ["NONE" if (r := convert_time_py(
+              _time_lexical(*row[:7]), row[7], row[8])) is None
+           else f"{r[0]}\t{r[1]}" for row in t])
+
+    from yago4_spark.terms import escape_nt_py
+    ntc = nt_corpus()
+    check("nt_escape", ntc,
+          ["ntesc\t" + s.encode("utf-8").hex() for s in ntc],
+          [escape_nt_py(s) for s in ntc])
 
     return report
 

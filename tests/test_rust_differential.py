@@ -71,3 +71,40 @@ def test_spark_columns_match_scalar_twins(spark):
         want_int = integer_quantity_py(r["amount"], r["unit"])
         got_int = "NONE" if r["intq"] is None else str(r["intq"])
         assert got_int == want_int, (r["amount"], r["unit"], r["intq"])
+
+
+def test_convert_time_cols_match_scalar_twin(spark):
+    """convert_time_cols (the plans' real path) reproduces the
+    rust-differential-verified convert_time_py twin over the full time
+    corpus — closing the chain compiled reference == twin == column."""
+    from pyspark.sql import functions as F
+
+    from scripts.rust_differential import _time_lexical, time_corpus
+    from yago4_spark.functions.values import convert_time_cols, convert_time_py
+
+    corpus = [( _time_lexical(*row[:7]), row[7], row[8])
+              for row in time_corpus(n=800)]
+    df = spark.createDataFrame(corpus, "lex string, prec int, cal long")
+    lexical, datatype = convert_time_cols(F.col("lex"), F.col("prec"),
+                                          F.col("cal"))
+    rows = df.select("lex", "prec", "cal", lexical.alias("out_lex"),
+                     datatype.alias("out_dt")).collect()
+    for r in rows:
+        want = convert_time_py(r["lex"], r["prec"], r["cal"])
+        got = None if r["out_lex"] is None else (r["out_lex"], r["out_dt"])
+        assert got == want, (r["lex"], r["prec"], r["cal"], got, want)
+
+
+def test_nt_escape_col_matches_scalar_twin(spark):
+    """The JVM-side escape column == the differential-verified
+    escape_nt_py over the adversarial NT corpus."""
+    from pyspark.sql import functions as F
+
+    from scripts.rust_differential import nt_corpus
+    from yago4_spark.terms import _escape_nt_col, escape_nt_py
+
+    corpus = [(s,) for s in nt_corpus(n=800) if "\x00" not in s]
+    df = spark.createDataFrame(corpus, "s string")
+    rows = df.select("s", _escape_nt_col(F.col("s")).alias("e")).collect()
+    for r in rows:
+        assert r["e"] == escape_nt_py(r["s"]), repr(r["s"])

@@ -44,11 +44,17 @@ def convert_time_cols(value_text: Column, precision: Column,
     year = F.regexp_extract(value_text, _TIME_RE, 1)
     month = F.regexp_extract(value_text, _TIME_RE, 2)
     day = F.regexp_extract(value_text, _TIME_RE, 3)
+    # chrono's %Y (and its rfc3339 year writer) prefix years >= 10000
+    # with '+' — verified against the compiled convert_time dispatch by
+    # scripts/rust_differential.py (family convert_time)
+    expanded = (F.length(year) > 4) & ~year.startswith("-")
+    year = F.when(expanded, F.concat(F.lit("+"), year)).otherwise(year)
     gregorian = calendar_qid == vocab.Q_PROLEPTIC_GREGORIAN
     ok = gregorian & (year != "")
     # the reference re-emits precision-14 values via to_rfc3339(), which
     # renders UTC as +00:00 (src/model.rs:249-253)
     rfc = F.regexp_replace(value_text, "Z$", "+00:00")
+    rfc = F.when(expanded, F.concat(F.lit("+"), rfc)).otherwise(rfc)
     lexical = (
         F.when(~ok, F.lit(None).cast("string"))
         .when(precision == 9, year)
@@ -64,6 +70,36 @@ def convert_time_cols(value_text: Column, precision: Column,
         .when(precision == 14, F.lit(vocab.XSD_DATE_TIME))
     )
     return lexical, datatype
+
+
+def convert_time_py(value_text: str, precision: int,
+                    calendar_qid: int) -> tuple[str, str] | None:
+    """Pure-Python twin of :func:`convert_time_cols` — the comparison
+    side of the rustc differential (family convert_time), which runs the
+    reference's convert_time body (src/plan.rs:1498-1524) verbatim over
+    a chrono shim. Returns (lexical, datatype IRI) or None (dropped).
+    test_values_convert_time_twins pins this to the Column version."""
+    import re
+
+    if calendar_qid != vocab.Q_PROLEPTIC_GREGORIAN:
+        return None
+    m = re.match(_TIME_RE, value_text)
+    if not m:
+        return None
+    year, month, day = m.groups()
+    plus = len(year) > 4 and not year.startswith("-")
+    if plus:
+        year = "+" + year
+    if precision == 9:
+        return year, vocab.XSD_G_YEAR
+    if precision == 10:
+        return f"{year}-{month}", vocab.XSD_G_YEAR_MONTH
+    if precision == 11:
+        return f"{year}-{month}-{day}", vocab.XSD_DATE
+    if precision == 14:
+        rfc = re.sub("Z$", "+00:00", value_text)
+        return ("+" + rfc if plus else rfc), vocab.XSD_DATE_TIME
+    return None
 
 
 # --- geo ----------------------------------------------------------------
