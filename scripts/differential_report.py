@@ -29,38 +29,10 @@ def pr(got: set, expected: set) -> tuple[float, float]:
             tp / len(expected) if expected else 1.0)
 
 
-def main() -> None:
-    use_real = "--real" in sys.argv
-    args = [a for a in sys.argv[1:] if a != "--real"]
-    n_ent = int(args[0]) if args else 100_000
-    n_cls = int(args[1]) if len(args) > 1 else 800
-    base = "/tmp/differential_100k"
-    shutil.rmtree(base, ignore_errors=True)
-    spark = get_spark(app_name="differential-100k")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    schema = None
-    if use_real:
-        from yago4_spark.plans.ttl import load_schema
-
-        ref = "/root/reference/src/data"
-        schema = load_schema(
-            [f"{ref}/{f}" for f in ["schema.ttl", "shapes.ttl",
-                                    "bioschemas.ttl", "shapes-bio.ttl"]],
-            min_instances=10)
-    t0 = time.time()
-    gt = generate(n_entities=n_ent, n_classes=n_cls, schema=schema)
-    oracle = compute_oracle(gt)
-    t_gen = time.time() - t0
-    StatementsTable.write(statements_df(spark, gt), f"{base}/statements")
-    t0 = time.time()
-    res = run_pipeline(spark, f"{base}/statements", f"{base}/work", gt.schema)
-    for df in res.outputs.values():
-        df.count()
-    t_pipe = time.time() - t0
-
+def collect_family_rows(res, oracle) -> list[tuple]:
+    """[(family, precision, recall, got_rows)] for the 12 output
+    families — shared by the report and scripts/mutation_check.py."""
     rows = []
-
     got_uri = {(r["qid"], r["yago"])
                for r in res.catalog.read("uri_mapping").collect()}
     rows.append(("uri_mapping", *pr(got_uri, set(oracle.uri.items())),
@@ -103,7 +75,6 @@ def main() -> None:
     rows.append(("annotated_facts (RDF★)", *pr(got_ann, oracle.annotated),
                  len(got_ann)))
 
-    # the remaining 4 output families (VERDICT r02 item 3)
     def spo(df):
         return {
             (r["subject"]["text"], r["predicate"]["text"],
@@ -120,6 +91,40 @@ def main() -> None:
     ):
         got = spo(res.outputs[out_name])
         rows.append((out_name, *pr(got, expected), len(got)))
+    return rows
+
+
+def main() -> None:
+    use_real = "--real" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--real"]
+    n_ent = int(args[0]) if args else 100_000
+    n_cls = int(args[1]) if len(args) > 1 else 800
+    base = "/tmp/differential_100k"
+    shutil.rmtree(base, ignore_errors=True)
+    spark = get_spark(app_name="differential-100k")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    schema = None
+    if use_real:
+        from yago4_spark.plans.ttl import load_schema
+
+        ref = "/root/reference/src/data"
+        schema = load_schema(
+            [f"{ref}/{f}" for f in ["schema.ttl", "shapes.ttl",
+                                    "bioschemas.ttl", "shapes-bio.ttl"]],
+            min_instances=10)
+    t0 = time.time()
+    gt = generate(n_entities=n_ent, n_classes=n_cls, schema=schema)
+    oracle = compute_oracle(gt)
+    t_gen = time.time() - t0
+    StatementsTable.write(statements_df(spark, gt), f"{base}/statements")
+    t0 = time.time()
+    res = run_pipeline(spark, f"{base}/statements", f"{base}/work", gt.schema)
+    for df in res.outputs.values():
+        df.count()
+    t_pipe = time.time() - t0
+
+    rows = collect_family_rows(res, oracle)
 
     # schema/shapes NT round-trip (VERDICT r03 item 6): emit → serialize
     # through the real NT sink → re-parse through plans/ttl.py →

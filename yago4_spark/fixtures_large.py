@@ -58,6 +58,10 @@ class GroundTruth:
     ent_sitelink: dict[int, str]
     births: dict[int, list[str]]             # ent -> best-rank date lexicals
     spouses: list[tuple[int, int]]
+    # spouse chains emitted WITHOUT wikibase:BestRank typing — the
+    # best-rank semi (plan.rs:1080-1083) must drop them, so they appear
+    # in NO oracle set (mutation_check kills drop_best_rank_semi on them)
+    deprecated_spouses: list[tuple[int, int]]
     urls: dict[int, str]
     geos: dict[int, tuple]                    # ent -> (lat, lng, prec, globe)
     pages: dict[int, tuple]                   # ent -> (amount str, unit qid)
@@ -301,6 +305,18 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
             y = rng.integers(1950, 2020)
             spouse_quals[(a, b)] = f"{y:04d}-06-15T00:00:00+00:00"
 
+    # deprecated/normal-rank spouse statements (~2% of entities): real
+    # statement chains that lack BestRank typing and must never surface
+    spouse_set = set(spouses)
+    deprecated_spouses = []
+    for idx in rng.choice(n_entities, size=max(1, n_entities // 50),
+                          replace=False):
+        a = int(ent_qid[idx])
+        b = int(ent_qid[rng.integers(0, n_entities)])
+        if a != b and (a, b) not in spouse_set:
+            deprecated_spouses.append((a, b))
+    deprecated_spouses = sorted(set(deprecated_spouses))
+
     # ---- statements (flat columns) -------------------------------------
     frames: list[pd.DataFrame] = []
 
@@ -399,6 +415,15 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
          "iri", vocab.WIKIBASE_BEST_RANK, None)
     flat("ps:P26", "blank", sp_node, None,
          "item", None, pd.Series(sp_obj, dtype="int64"))
+
+    # deprecated-rank spouse chains: p:P26 + ps:P26, NO BestRank typing
+    if deprecated_spouses:
+        dp_node = [f"sd{a}_{b}" for a, b in deprecated_spouses]
+        flat("p:P26", "item", None,
+             pd.Series([a for a, _ in deprecated_spouses], dtype="int64"),
+             "blank", dp_node, None)
+        flat("ps:P26", "blank", dp_node, None, "item", None,
+             pd.Series([b for _, b in deprecated_spouses], dtype="int64"))
 
     # url chains: p:P856 + BestRank + ps:P856 → iri
     u_subj = list(urls.keys())
@@ -510,6 +535,7 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         class_sitelink=class_sitelink, class_label=class_label,
         ent_qid=ent_qid, p31=p31, ent_label=ent_label,
         ent_sitelink=ent_sitelink, births=births, spouses=spouses,
+        deprecated_spouses=deprecated_spouses,
         urls=urls, geos=geos, pages=pages, durations=durations,
         weights=weights, images=images, issns=issns,
         spouse_quals=spouse_quals, descs=descs, alt_labels=alt_labels,
