@@ -94,9 +94,41 @@ def collect_family_rows(res, oracle) -> list[tuple]:
     return rows
 
 
+def _exchange_count(df) -> int:
+    """Exchanges in the EXECUTED (post-AQE) plan."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        plan = df._jdf.queryExecution().toString()
+    return plan.count("Exchange")
+
+
+def install_closure_trace() -> list:
+    """Wrap taxonomy's transitive_closure so each call records
+    (iteration, frontier size) — the closure trace the 1M report
+    publishes. Costs one count() job per iteration; only used under
+    --deep."""
+    from yago4_spark.operators import closure as closure_mod
+    from yago4_spark.plans import taxonomy as taxonomy_mod
+
+    trace: list[list[tuple[int, int]]] = []
+    orig = closure_mod.transitive_closure
+
+    def traced(seeds, edges, max_iterations=closure_mod.MAX_ITERATIONS_DEFAULT,
+               on_iteration=None):
+        rec: list[tuple[int, int]] = []
+        trace.append(rec)
+        return orig(seeds, edges, max_iterations,
+                    on_iteration=lambda i, n: rec.append((i, n)))
+
+    taxonomy_mod.transitive_closure = traced
+    return trace
+
+
 def main() -> None:
     use_real = "--real" in sys.argv
-    args = [a for a in sys.argv[1:] if a != "--real"]
+    deep = "--deep" in sys.argv
+    args = [a for a in sys.argv[1:] if a not in ("--real", "--deep")]
     n_ent = int(args[0]) if args else 100_000
     n_cls = int(args[1]) if len(args) > 1 else 800
     base = "/tmp/differential_100k"
@@ -118,11 +150,16 @@ def main() -> None:
     oracle = compute_oracle(gt)
     t_gen = time.time() - t0
     StatementsTable.write(statements_df(spark, gt), f"{base}/statements")
+    closure_trace = install_closure_trace() if deep else None
     t0 = time.time()
     res = run_pipeline(spark, f"{base}/statements", f"{base}/work", gt.schema)
     for df in res.outputs.values():
         df.count()
     t_pipe = time.time() - t0
+    exchanges = (
+        {name: _exchange_count(df) for name, df in res.outputs.items()}
+        if deep else None
+    )
 
     rows = collect_family_rows(res, oracle)
 
@@ -185,6 +222,19 @@ def main() -> None:
         lines.append(f"| {name} | {p_:.4f} | {r_:.4f} | {n:,} |")
         ok = ok and p_ == 1.0 and r_ == 1.0
     lines.append("")
+    if deep:
+        lines.append(
+            "Executed-plan Exchange counts (post-AQE): "
+            + ", ".join(f"{k}={v}" for k, v in sorted(exchanges.items()))
+            + f"; total {sum(exchanges.values())}.")
+        traces = [t for t in closure_trace if t]
+        if traces:
+            longest = max(traces, key=len)
+            lines.append(
+                f"Taxonomy closure trace ({len(traces)} closures; longest "
+                f"{len(longest)} iterations, frontier sizes "
+                f"{[n for _, n in longest]}).")
+        lines.append("")
     lines.append(f"All-exact: **{'YES' if ok else 'NO'}**")
     report = "\n".join(lines) + "\n"
     print(report)

@@ -66,11 +66,12 @@ MUTATIONS = [
         expect="shape_instances (disjoint members survive)",
     ),
     dict(
-        name="uri_priority_reversed",
-        file="yago4_spark/operators/relational.py",
-        old='    w = Window.partitionBy(key).orderBy("_prio", *value_cols)',
-        new='    w = Window.partitionBy(key).orderBy(F.col("_prio").desc(), *value_cols)',
-        expect="uri_mapping (lowest-priority source wins)",
+        name="uri_priority_swapped",
+        file="yago4_spark/plans/uri_mapping.py",
+        old='        [from_schema, from_wikipedia, from_label, fallback], key="qid"',
+        new='        [from_schema, from_label, from_wikipedia, fallback], key="qid"',
+        expect="uri_mapping (label-URI beats sitelink-URI — subtle swap,"
+               " unlike a full reversal which crashes the pipeline)",
     ),
     dict(
         name="drop_maxcount_group_kill",
@@ -200,11 +201,15 @@ def run_worker(base: Path, name: str, timeout: int = 1800) -> list | str:
     work = base / f"work_{name}"
     shutil.rmtree(work, ignore_errors=True)
     try:
+        # cwd MUST be outside the repo: pyspark's worker daemon puts the
+        # process cwd at sys.path[0], which would shadow the mutated
+        # package copy on executors (found when geo_latlon_swap — the
+        # one executor-side mutant — silently survived)
         proc = subprocess.run(
             [sys.executable, str(base / "worker.py"), str(base / "pkg"),
              str(base / "statements"), str(base / "oracle.pkl"),
              str(out_json), str(work)],
-            capture_output=True, text=True, timeout=timeout,
+            capture_output=True, text=True, timeout=timeout, cwd=str(base),
         )
     except subprocess.TimeoutExpired:
         return "TIMEOUT"

@@ -72,6 +72,9 @@ class GroundTruth:
     spouse_quals: dict[tuple[int, int], str]  # (a,b) -> start-date lexical
     descs: dict[int, str]                     # qid -> schema:description @en
     alt_labels: dict[int, str]                # qid -> skos:altLabel @en
+    labels_de: dict[int, str]                 # ent -> skos:prefLabel @de
+    bad_labels: dict[int, str]                # ent -> PLAIN-STRING prefLabel
+    #   (wrong datatype — must be dropped by the labels datatype filter)
     freebase: dict[int, str]                  # qid -> P646 id (some invalid)
     schema: Schema = field(default_factory=lambda: sample_schema(10))
 
@@ -132,8 +135,17 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
             parents[q] = [BAD_ROOT if i < 20 else CLS_BASE + rng.integers(15, 25)]
         elif i < 40:                     # disjoint victims: Person AND Work
             parents[q] = [person_q, work_q]
+        elif i < 46:                     # dual-root: Person AND Thing —
+            # Person is a direct child of Thing in the reduced yago
+            # hierarchy, so these exercise the most-specific mapping
+            # filter (no-sitelink ones map to BOTH targets; the Thing
+            # mapping must drop) and the transitive reduction (sitelinked
+            # ones get child→Person AND child→Thing edges; the →Thing
+            # edge must drop). mutation_check kills
+            # skip_most_specific_filter / skip_transitive_reduction here.
+            parents[q] = [person_q, thing_q]
         else:                            # normal: under a root or an earlier class
-            pool = root_qids + [CLS_BASE + j for j in range(40, i)]
+            pool = root_qids + [CLS_BASE + j for j in range(46, i)]
             parents[q] = [pool[rng.integers(0, len(pool))]]
         cls.append(q)
     class_qid = np.array(cls)
@@ -145,6 +157,15 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
             class_sitelink[q] = _mk_title(rng, f"Class_{q}", q)
         if rng.random() < 0.9:
             class_label[q] = f"ClassLabel{q}"
+    # dual-root band: half kept-for-yago (sitelink → reduction case),
+    # half mapping-only (no sitelink → most-specific case)
+    dual_root_qids = [CLS_BASE + i for i in range(40, min(46, n_classes))]
+    for k, q in enumerate(dual_root_qids):
+        if k % 2 == 0:
+            class_sitelink[q] = f"DualRoot_{q}"
+        else:
+            class_sitelink.pop(q, None)
+        class_label[q] = f"ClassLabel{q}"
 
     # ---- entities ----------------------------------------------------
     ent_qid = ENT_BASE + np.arange(n_entities)
@@ -169,6 +190,12 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         e = int(ent_qid[idx])
         p31.append((e, person_q))
         p31.append((e, work_q))
+    # dual-root classes get enough direct instances to clear the
+    # min_instances threshold (they must be KEPT for their mapping /
+    # hierarchy edges to exist at all)
+    for k, q in enumerate(dual_root_qids):
+        for j in range(12):
+            p31.append((int(ent_qid[(300 + k * 12 + j) % n_entities]), q))
     p31 = sorted(set(p31))
 
     ent_label = {}
@@ -298,6 +325,22 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
             freebase[e] = (f"/m/0{np.base_repr(e, 36).lower()}"
                            if rng.random() < 0.8 else f"/m/9bad{e}")
 
+    # non-en prefLabels (~10%): flow through the labels output with
+    # their language tag intact (mutation_check kills
+    # langstring_lang_constant on them); english_labels must ignore
+    # them for URI naming. And plain-STRING prefLabels (~5%): wrong
+    # datatype — the labels datatype filter must drop them
+    # (mutation_check kills labels_datatype_filter_dropped).
+    labels_de: dict[int, str] = {}
+    bad_labels: dict[int, str] = {}
+    for e in ent_qid:
+        e = int(e)
+        r = rng.random()
+        if r < 0.1:
+            labels_de[e] = f"DeEnt{e}"
+        elif r < 0.15:
+            bad_labels[e] = f"PlainStringLabel{e}"
+
     # start-date qualifiers on ~30% of spouse statements (RDF★ path)
     spouse_quals = {}
     for a, b in spouses:
@@ -352,6 +395,20 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         "pk": "skos:prefLabel", "s_kind": "item", "s_text": None,
         "s_num": pd.Series(lq, dtype="int64"),
         "o_kind": "langString", "o_text": lt, "o_num": None, "o_lang": "en",
+    }))
+
+    # non-en labels (langString @de) + wrong-datatype plain-string labels
+    frames.append(pd.DataFrame({
+        "pk": "skos:prefLabel", "s_kind": "item", "s_text": None,
+        "s_num": pd.Series(list(labels_de.keys()), dtype="int64"),
+        "o_kind": "langString", "o_text": list(labels_de.values()),
+        "o_num": None, "o_lang": "de",
+    }))
+    frames.append(pd.DataFrame({
+        "pk": "skos:prefLabel", "s_kind": "item", "s_text": None,
+        "s_num": pd.Series(list(bad_labels.keys()), dtype="int64"),
+        "o_kind": "string", "o_text": list(bad_labels.values()),
+        "o_num": None, "o_lang": None,
     }))
 
     # descriptions + alt labels (@en), Freebase ids
@@ -539,6 +596,7 @@ def generate(n_entities: int = 100_000, n_classes: int = 800,
         urls=urls, geos=geos, pages=pages, durations=durations,
         weights=weights, images=images, issns=issns,
         spouse_quals=spouse_quals, descs=descs, alt_labels=alt_labels,
+        labels_de=labels_de, bad_labels=bad_labels,
         freebase=freebase, schema=schema,
     )
 
@@ -954,19 +1012,26 @@ def compute_oracle(gt: GroundTruth) -> Oracle:
     # labels output (build_simple_properties, plan.rs:818-892):
     # from_predicates shapes, langString datatype, parent-shape domain
     labels_out: set[tuple[str, str, str]] = set()
-    label_sources = {
-        "skos:prefLabel": labels_en,
-        "schema:description": gt.descs,
-        "skos:altLabel": gt.alt_labels,
-    }
+    # (pred_key, source dict, language). gt.bad_labels (plain strings,
+    # wrong datatype) are deliberately ABSENT — the pipeline's datatype
+    # filter must drop them.
+    label_sources = [
+        ("skos:prefLabel", labels_en, "en"),
+        ("skos:prefLabel", gt.labels_de, "de"),
+        ("schema:description", gt.descs, "en"),
+        ("skos:altLabel", gt.alt_labels, "en"),
+    ]
     for ps in schema.property_shapes:
         if not ps.from_predicates:
             continue
         domain = instances.get(ps.parent_shape, set())
         for pred_key in ps.from_predicates:
-            for q, v in label_sources.get(pred_key, {}).items():
-                if uri[q] in domain:
-                    labels_out.add((uri[q], ps.path, f'"{v}"@en'))
+            for src_key, src, lang in label_sources:
+                if src_key != pred_key:
+                    continue
+                for q, v in src.items():
+                    if uri[q] in domain:
+                        labels_out.add((uri[q], ps.path, f'"{v}"@{lang}'))
 
     # same_as (build_same_as, plan.rs:1690-1780)
     import re as _re2
