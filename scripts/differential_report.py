@@ -94,15 +94,6 @@ def collect_family_rows(res, oracle) -> list[tuple]:
     return rows
 
 
-def _exchange_count(df) -> int:
-    """Exchanges in the EXECUTED (post-AQE) plan."""
-    try:
-        plan = df._jdf.queryExecution().executedPlan().toString()
-    except Exception:
-        plan = df._jdf.queryExecution().toString()
-    return plan.count("Exchange")
-
-
 def install_closure_trace() -> list:
     """Wrap taxonomy's transitive_closure so each call records
     (iteration, frontier size) — the closure trace the 1M report
@@ -157,7 +148,11 @@ def main() -> None:
         df.count()
     t_pipe = time.time() - t0
     exchanges = (
-        {name: _exchange_count(df) for name, df in res.outputs.items()}
+        {m["stage"]: m.get("plan_exchanges")
+         for m in (res.catalog.manifest(s)
+                   for s in sorted(os.listdir(res.catalog.root))
+                   if res.catalog.exists(s))
+         if m.get("plan_exchanges") is not None}
         if deep else None
     )
 
@@ -224,7 +219,8 @@ def main() -> None:
     lines.append("")
     if deep:
         lines.append(
-            "Executed-plan Exchange counts (post-AQE): "
+            "Build-plan Exchange counts per stage (pre-execution AQE "
+            "plan, recorded by the stage catalog at write time): "
             + ", ".join(f"{k}={v}" for k, v in sorted(exchanges.items()))
             + f"; total {sum(exchanges.values())}.")
         traces = [t for t in closure_trace if t]

@@ -63,6 +63,16 @@ class StageCatalog:
         """
         t0 = time.time()
         path = self.path(name)
+        try:
+            # shuffle count of the BUILD plan (pre-execution AQE plan —
+            # the post-write re-read would always show 0 Exchanges);
+            # recorded so volume reports can publish per-stage shuffles
+            plan_exchanges = (
+                df._jdf.queryExecution().executedPlan().toString()
+                .count("Exchange")
+            )
+        except Exception:
+            plan_exchanges = None
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -83,6 +93,7 @@ class StageCatalog:
             "partition_by": partition_by or [],
             "partitions": per_partition,
             "lineage": lineage or {},
+            "plan_exchanges": plan_exchanges,
             "wall_s": round(time.time() - t0, 3),
             "committed_at_unix": time.time(),
         }
