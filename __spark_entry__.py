@@ -308,6 +308,16 @@ def q_dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_doubled_docs(spark, sf), n=3, threshold=0.8)
 
 
+def q_dedup_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs: banded blocking with a pigeonhole
+    guarantee (4 bands of 4 bits — exact for hamming <= 3), grouped-
+    pairs candidate generation, integer xor+bit_count verify."""
+    from yago4_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_doubled_docs(spark, sf), bits=16,
+                                  n_bands=4, max_hamming=3)
+
+
 def q_doc_simhash(spark, sf):
     from yago4_spark.operators.dedup import simhash
 
@@ -465,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_topk_batch": q_ann_ivf_topk_batch,
@@ -730,6 +741,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT)
                                  ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
+        """,
+        "dedup_simhash_pairs": r"""
+            WITH corpus AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR) || '_c', text FROM documents
+            ), toks AS (
+                SELECT doc_id, tok, count(*) AS w, md5(tok) AS h
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                      FROM corpus)
+                GROUP BY doc_id, tok
+            ), bits AS (
+                SELECT doc_id, b AS bit,
+                       sum(CASE WHEN substring(h, b + 1, 1) IN
+                                ('1','3','5','7','9','b','d','f')
+                                THEN w ELSE -w END) AS s
+                FROM toks, LATERAL (SELECT unnest(generate_series(0, 15)) AS b)
+                GROUP BY doc_id, b
+            ), hashes AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN s > 0
+                                     THEN CAST(pow(2, bit) AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, simhash, b AS band,
+                       (simhash >> (b * 4)) & 15 AS val
+                FROM hashes, LATERAL (SELECT unnest(generate_series(0, 3)) AS b)
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.simhash AS h_a, b.simhash AS h_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.val = b.val
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
         """,
         "ann_cosine_topk": f"""
             SELECT vec_id,

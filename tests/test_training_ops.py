@@ -488,3 +488,30 @@ def test_ivf_batch_single_assignment_plan(spark):
     # batch-size INVARIANCE: 1 query or 8, same plan shape — the
     # per-query path pays a full assignment per call instead.
     assert n_scans(1) == n_scans(8) == 3
+
+
+def test_simhash_near_dup_pairs_exact_blocking(spark, docs):
+    """The 4-band pigeonhole blocking is EXACT for hamming <= 3: the
+    operator's pairs equal brute-force all-pairs over the simhash
+    values. Also checks the planted near-dup lands at hamming 0/small."""
+    from itertools import combinations
+
+    from yago4_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    rows = [(f"x{i}", f"doc number {i} about {'spark' if i % 2 else 'ducks'} "
+             f"and data processing item {i % 7}") for i in range(60)]
+    rows += [(d, t) for d, t in DOCS]
+    corpus = spark.createDataFrame(rows, "doc_id string, text string")
+
+    hashes = {r["doc_id"]: r["simhash"]
+              for r in simhash(corpus, bits=16).collect()}
+    expect = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in simhash_near_dup_pairs(corpus, bits=16, n_bands=4,
+                                           max_hamming=3).collect()}
+    assert got == expect
+    assert ("a", "b", 0) in got  # identical docs

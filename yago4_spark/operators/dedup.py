@@ -56,9 +56,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         max_shingle_df: int = 1000) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard >= threshold.
 
-    Blocking: pairs share >=1 shingle (self-join on shingle), then
-    |A∩B| is counted and Jaccard computed from per-doc shingle counts —
-    one shuffle on shingle + one on the pair key.
+    Blocking: pairs share >=1 shingle, then |A∩B| is counted and
+    Jaccard computed from per-doc shingle counts — one shuffle on
+    shingle + one on the pair key.
 
     ``max_shingle_df`` caps shingle document frequency: one
     stop-word-ish shingle shared by 10^6 docs would otherwise make a
@@ -162,12 +162,21 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.band").alias("band"), F.col("g.bucket").alias("bucket"))
-    a = buckets.withColumnRenamed("doc_id", "id_a")
-    b = buckets.withColumnRenamed("doc_id", "id_b")
+    # grouped-pairs, not a bucket self-join: a self-join realiases one
+    # side and recomputes the whole minhash pipeline twice (Catalyst
+    # does not reuse the exchange); collecting the sorted doc list per
+    # bucket and exploding C(n,2) pairs in place shuffles once
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.col("doc_id"))).alias("ids")
+    ).where(F.size("ids") >= 2)
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -204,3 +213,71 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             .otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return fused.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", bits: int = 16,
+                           n_bands: int = 4, max_hamming: int = 3,
+                           max_bucket_size: int = 100_000) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= ``max_hamming``.
+    Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Banded blocking with a pigeonhole guarantee: the hash splits into
+    ``n_bands`` equal bands; a pair within Hamming distance
+    ``n_bands - 1`` must agree on at least one whole band, so with
+    ``max_hamming <= n_bands - 1`` the blocking is EXACT — no recall
+    loss vs all-pairs (asserted). Candidates are generated with the
+    same grouped-pairs shape as ngram_jaccard_pairs (sorted doc list
+    per (band, value) bucket, pairs exploded in place — one shuffle, no
+    self-join recompute), deduped across bands, then verified with a
+    single integer xor + bit_count per pair (cheap enough that large
+    buckets are tolerable; ``max_bucket_size`` is the O(n²) safety
+    net for degenerate corpora, trading bounded recall like the
+    shingle-DF cap).
+
+    Reference parity: the reference has no simhash family — this is
+    part of the training-data-pipeline extension surface
+    (SURVEY.md §2.10 / COVERAGE.md LLM-ops)."""
+    assert bits % n_bands == 0, "bands must divide the hash width"
+    assert max_hamming <= n_bands - 1, (
+        "banded blocking is only exact for max_hamming <= n_bands - 1")
+    from .cache import track
+
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    sh = track(simhash(docs, id_col, text_col, bits))
+    bands = sh.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"shiftright(simhash, {i * w}) & {mask}").alias("val"),
+            )
+            for i in range(n_bands)
+        ])).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.val")
+    grouped = (
+        bands.groupBy("band", "val")
+        .agg(F.sort_array(F.collect_list(F.col("doc_id"))).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(x AS id_a, y AS id_b))))"
+    )
+    cand = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming",
+                    F.expr("bit_count(h_a ^ h_b)").cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
