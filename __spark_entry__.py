@@ -308,6 +308,18 @@ def q_dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_doubled_docs(spark, sf), n=3, threshold=0.8)
 
 
+def q_dedup_clusters(spark, sf):
+    """Duplicate-cluster construction: connected components over the
+    MinHash-LSH pair graph via iterative min-label propagation —
+    (doc_id, canonical); a dedup pipeline keeps doc_id == canonical.
+    Oracle: WITH RECURSIVE reachability + MIN per component."""
+    from yago4_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    return dup_clusters(
+        minhash_lsh_pairs(_doubled_docs(spark, sf), n=3, num_hashes=8,
+                          bands=2))
+
+
 def q_dedup_simhash_pairs(spark, sf):
     """SimHash near-dup pairs: banded blocking with a pigeonhole
     guarantee (4 bands of 4 bits — exact for hamming <= 3), grouped-
@@ -476,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_topk_batch": q_ann_ivf_topk_batch,
@@ -741,6 +754,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT)
                                  ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
+        """,
+        "dedup_clusters": _SHINGLES_SQL.replace(
+            "WITH corpus", "WITH RECURSIVE corpus") + r"""
+        , seeded AS (
+            SELECT doc_id, i AS h,
+                   min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+            FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS i)
+            GROUP BY doc_id, i
+        ), sigs AS (
+            SELECT doc_id, array_agg(mh ORDER BY h) AS sig
+            FROM seeded GROUP BY doc_id
+        ), buckets AS (
+            SELECT doc_id, b AS band,
+                   md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bucket
+            FROM sigs, LATERAL (SELECT unnest([0, 1]) AS b)
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach AS (
+            SELECT src AS node, src AS r FROM edges
+            UNION
+            SELECT e.dst AS node, reach.r
+            FROM reach JOIN edges e ON reach.node = e.src
+        )
+        SELECT node AS doc_id, min(r) AS canonical
+        FROM reach GROUP BY node
         """,
         "dedup_simhash_pairs": r"""
             WITH corpus AS (

@@ -515,3 +515,23 @@ def test_simhash_near_dup_pairs_exact_blocking(spark, docs):
                                            max_hamming=3).collect()}
     assert got == expect
     assert ("a", "b", 0) in got  # identical docs
+
+
+def test_dup_clusters(spark):
+    """Connected components over a pair graph: chain, triangle(cycle),
+    singleton pair — every node labeled with its component MIN."""
+    from yago4_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),     # chain a-b-c-d
+         ("x", "y"), ("y", "z"), ("x", "z"),     # triangle
+         ("m", "n")],                            # pair
+        "id_a string, id_b string",
+    )
+    got = {(r["doc_id"], r["canonical"])
+           for r in dup_clusters(pairs).collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"), ("z", "x"),
+        ("m", "m"), ("n", "m"),
+    }

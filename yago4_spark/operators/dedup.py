@@ -281,3 +281,60 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iterations: int = 40) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id,
+    canonical), canonical = MIN doc id in the component. The step a real
+    dedup pipeline runs after pair generation: keep ``doc_id ==
+    canonical``, drop the rest.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; fixpoint in
+    O(component diameter) rounds (near-dup components are shallow —
+    star-ish around popular duplicates). Monotone min is cycle-safe and
+    deterministic. Frontier bookkeeping matches operators/closure.py:
+    labels are localCheckpoint-ed per round so lineage stays flat, and
+    the convergence probe is a limit-1 isEmpty, not a full count.
+
+    Only docs that appear in ``pairs`` get a row (singletons are their
+    own canonical by definition — callers union them back if needed).
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        prop = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new_labels = (
+            prop.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            edges.unpersist()
+            return labels.select(F.col("node").alias("doc_id"),
+                                 F.col("label").alias("canonical"))
+    edges.unpersist()
+    raise RuntimeError(f"no fixpoint after {max_iterations} iterations")
