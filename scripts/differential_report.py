@@ -104,6 +104,7 @@ def install_closure_trace() -> list:
 
     trace: list[list[tuple[int, int]]] = []
     orig = closure_mod.transitive_closure
+    orig_res = closure_mod.transitive_closure_resumable
 
     def traced(seeds, edges, max_iterations=closure_mod.MAX_ITERATIONS_DEFAULT,
                on_iteration=None):
@@ -112,7 +113,16 @@ def install_closure_trace() -> list:
         return orig(seeds, edges, max_iterations,
                     on_iteration=lambda i, n: rec.append((i, n)))
 
+    def traced_res(seeds, edges, checkpoint_dir,
+                   max_iterations=closure_mod.MAX_ITERATIONS_DEFAULT,
+                   on_iteration=None):
+        rec: list[tuple[int, int]] = []
+        trace.append(rec)
+        return orig_res(seeds, edges, checkpoint_dir, max_iterations,
+                        on_iteration=lambda i, n: rec.append((i, n)))
+
     taxonomy_mod.transitive_closure = traced
+    closure_mod.transitive_closure_resumable = traced_res
     return trace
 
 

@@ -63,3 +63,57 @@ def test_transitive_reduction_step(spark):
         [("a", "b"), ("b", "c"), ("a", "c")], "child string, parent string")
     got = {tuple(r) for r in transitive_reduction_step(edges).collect()}
     assert got == {("a", "b"), ("b", "c")}
+
+
+def test_resumable_closure_equivalence_and_resume(spark, tmp_path):
+    """transitive_closure_resumable == transitive_closure on the same
+    graph; after an interrupted run (iteration cap hit mid-closure) a
+    rerun RESUMES from the committed frontiers — the already-done
+    iterations are not recomputed (their _MANIFEST files are untouched)
+    — and completes to the identical result. A third run after
+    convergence does zero join work (returns from the committed state).
+    """
+    import json
+    import os
+
+    from yago4_spark.operators.closure import (
+        ClosureDidNotConverge,
+        transitive_closure,
+        transitive_closure_resumable,
+    )
+
+    # chain 0→1→...→9 plus a cycle 9→4: depth 10, cycle-safe
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(9, 4)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    expect = {r["node"] for r in transitive_closure(seeds, edges).collect()}
+
+    ckpt = str(tmp_path / "closure")
+    # "crash" after 4 committed iterations (cap acts as the crash)
+    try:
+        transitive_closure_resumable(seeds, edges, ckpt, max_iterations=4)
+        raise AssertionError("expected the iteration cap to trip")
+    except ClosureDidNotConverge:
+        pass
+    done = sorted(os.listdir(ckpt))
+    assert len(done) == 5  # frontier=0 (seeds) .. frontier=4
+    mtimes = {d: os.path.getmtime(os.path.join(ckpt, d, "_MANIFEST.json"))
+              for d in done}
+
+    got = {r["node"] for r in
+           transitive_closure_resumable(seeds, edges, ckpt).collect()}
+    assert got == expect
+    # the pre-crash iterations were NOT recomputed
+    for d in done:
+        assert os.path.getmtime(
+            os.path.join(ckpt, d, "_MANIFEST.json")) == mtimes[d]
+
+    # post-convergence rerun: converged marker (empty frontier) short-
+    # circuits; result identical, no new iteration dirs
+    n_dirs = len(os.listdir(ckpt))
+    again = {r["node"] for r in
+             transitive_closure_resumable(seeds, edges, ckpt).collect()}
+    assert again == expect
+    assert len(os.listdir(ckpt)) == n_dirs
+    with open(os.path.join(ckpt, "frontier=0", "_MANIFEST.json")) as f:
+        assert json.load(f)["rows"] == 1

@@ -136,3 +136,87 @@ def transitive_reduction_step(edges: DataFrame) -> DataFrame:
         .distinct()
     )
     return e.join(redundant, ["child", "parent"], "left_anti")
+
+
+def transitive_closure_resumable(
+    seeds: DataFrame,
+    edges: DataFrame,
+    checkpoint_dir: str,
+    max_iterations: int = MAX_ITERATIONS_DEFAULT,
+    on_iteration=None,
+) -> DataFrame:
+    """Disk-checkpointed BFS closure: resumable MID-closure, the north
+    rule's "a failed run resumes mid-taxonomy-closure".
+
+    Every completed iteration commits its frontier to
+    ``<checkpoint_dir>/frontier=<i>`` (parquet write, then an _MANIFEST
+    json as the commit marker — underscore-prefixed so Spark's parquet
+    reader ignores it — a crash between the two leaves an
+    uncommitted directory that is simply rewritten). A rerun with the
+    same directory unions the committed frontiers as the visited set
+    and continues from the LAST committed frontier instead of
+    restarting the whole fixpoint. An empty committed frontier is the
+    converged marker, so a rerun after completion does zero join work.
+
+    Same per-iteration plan as :func:`transitive_closure` (frontier-only
+    join + map-side-combined distinct + subtract); parquet replaces
+    localCheckpoint as the lineage truncation point, so each iteration
+    additionally survives driver loss — this is what the per-stage
+    catalog cannot give the closure, whose state lives INSIDE one
+    stage build.
+    """
+    import json
+    import os
+
+    spark = seeds.sparkSession
+    seeds = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    edges = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def fdir(i: int) -> str:
+        return os.path.join(checkpoint_dir, f"frontier={i}")
+
+    def committed(i: int) -> bool:
+        return os.path.exists(os.path.join(fdir(i), "_MANIFEST.json"))
+
+    def commit(i: int, df: DataFrame) -> tuple[DataFrame, int]:
+        df.write.mode("overwrite").parquet(fdir(i))
+        out = spark.read.parquet(fdir(i))
+        rows = out.count()
+        with open(os.path.join(fdir(i), "_MANIFEST.json"), "w") as f:
+            json.dump({"iteration": i, "rows": rows}, f)
+        return out, rows
+
+    # resume point: last committed frontier
+    start = 0
+    while committed(start):
+        start += 1
+    if start == 0:
+        frontier, _ = commit(0, seeds)
+        visited = frontier
+        start = 1
+    else:
+        visited = spark.read.parquet(
+            *[fdir(i) for i in range(start)])
+        frontier = spark.read.parquet(fdir(start - 1))
+        if frontier.isEmpty():  # previous run already converged
+            edges.unpersist()
+            return visited
+
+    for i in range(start, max_iterations + 1):
+        next_nodes = (
+            frontier.join(edges, frontier["node"] == edges["src"], "inner")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier, rows = commit(i, next_nodes.subtract(visited))
+        if on_iteration is not None:
+            # the commit already counted rows — the trace hook is free
+            on_iteration(i - 1, rows)
+        if rows == 0:
+            edges.unpersist()
+            return visited
+        visited = visited.unionByName(frontier)
+    edges.unpersist()
+    raise ClosureDidNotConverge(f"no fixpoint after {max_iterations} iterations")

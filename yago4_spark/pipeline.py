@@ -84,7 +84,8 @@ def run_pipeline(
     if not all(
         cat.exists(n) for n in ("yago_classes", "class_mapping", "sub_class_of")
     ):
-        tax = build_taxonomy(spark, st, schema, uri_mapping, enwiki)
+        tax = build_taxonomy(spark, st, schema, uri_mapping, enwiki,
+                             closure_dir=f"{work_dir}/closure")
         cat.write("yago_classes", tax.yago_classes,
                   lineage={"inputs": ["statements", "uri_mapping"]})
         cat.write("class_mapping", tax.class_mapping,

@@ -100,7 +100,15 @@ def build_taxonomy(
     schema: Schema,
     uri_mapping: DataFrame,
     enwiki_mapping: DataFrame,
+    closure_dir: str | None = None,
 ) -> Taxonomy:
+    """``closure_dir`` (north rule: "a failed run resumes
+    mid-taxonomy-closure"): when set, the two unbounded-depth closures
+    (bad-class subtree, mapped subtree) checkpoint each iteration's
+    frontier to disk under it and a rerun resumes from the last
+    committed iteration instead of restarting the fixpoint. The caller
+    owns the same freshness contract as the stage catalog: a reused
+    work dir implies unchanged input statements."""
     from_classes = schema.mapped_class_qids()
     from_classes_df = F.broadcast(_qids_df(spark, from_classes, "qid"))
 
@@ -118,11 +126,21 @@ def build_taxonomy(
 
     p31 = instance_edges(st)
 
-    bad = transitive_closure(_qids_df(spark, vocab.WD_BAD_CLASSES), down_edges)
+    if closure_dir is not None:
+        from ..operators.closure import transitive_closure_resumable
 
-    mapped_subtree = transitive_closure(
-        _qids_df(spark, from_classes), down_edges
-    )
+        bad = transitive_closure_resumable(
+            _qids_df(spark, vocab.WD_BAD_CLASSES), down_edges,
+            f"{closure_dir}/bad")
+        mapped_subtree = transitive_closure_resumable(
+            _qids_df(spark, from_classes), down_edges,
+            f"{closure_dir}/mapped_subtree")
+    else:
+        bad = transitive_closure(_qids_df(spark, vocab.WD_BAD_CLASSES),
+                                 down_edges)
+        mapped_subtree = transitive_closure(
+            _qids_df(spark, from_classes), down_edges
+        )
 
     # subclasses under a disjoint schema pair: descendants(c1) ∩
     # descendants(c2) for every disjoint (c1, c2) (plan.rs:486-508).
