@@ -341,6 +341,33 @@ def q_doc_simhash(spark, sf):
     )
 
 
+def q_doc_simhash64(spark, sf):
+    """Production-width (64-bit) simhash: bits 0-31 from the md5 hex
+    nibbles' low bit, bits 32-63 from the same nibbles' second bit —
+    two independent lanes from one md5 (round-4 trap: reading hex digit
+    b directly silently zeroed bits >= 32). Bit 63 lands in the long's
+    sign bit, so hashes can be negative."""
+    from yago4_spark.operators.dedup import simhash
+
+    return simhash(
+        _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ),
+        bits=64,
+    )
+
+
+def q_dedup_simhash_pairs64(spark, sf):
+    """64-bit simhash near-dup pairs: 4 bands of 16 bits (pigeonhole-
+    exact for hamming <= 3), arithmetic-shift+mask band extraction
+    (portable across Spark and DuckDB for negative hashes), xor +
+    bit_count verify."""
+    from yago4_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_doubled_docs(spark, sf), bits=64,
+                                  n_bands=4, max_hamming=3)
+
+
 _ANN_QUERY = [1.0] + [0.0] * 63
 
 
@@ -487,7 +514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash64": q_doc_simhash64,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_pairs64": q_dedup_simhash_pairs64,
         "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -710,9 +739,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, b AS band,
                    md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bucket
             FROM sigs, LATERAL (SELECT unnest([0, 1]) AS b)
+        ), kept AS (
+            SELECT band, bucket FROM buckets GROUP BY band, bucket
+            HAVING count(*) BETWEEN 2 AND 4096
         )
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM buckets a JOIN buckets b
+        FROM buckets a
+        JOIN kept USING (band, bucket)
+        JOIN buckets b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         """,
         "dedup_ngram_jaccard": _SHINGLES_SQL + r"""
@@ -769,9 +803,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, b AS band,
                    md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bucket
             FROM sigs, LATERAL (SELECT unnest([0, 1]) AS b)
+        ), kept AS (
+            SELECT band, bucket FROM buckets GROUP BY band, bucket
+            HAVING count(*) BETWEEN 2 AND 4096
         ), pairs AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM buckets a JOIN buckets b
+            FROM buckets a
+            JOIN kept USING (band, bucket)
+            JOIN buckets b
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id
         ), edges AS (
@@ -815,10 +854,91 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, simhash, b AS band,
                        (simhash >> (b * 4)) & 15 AS val
                 FROM hashes, LATERAL (SELECT unnest(generate_series(0, 3)) AS b)
+            ), kept AS (
+                SELECT band, val FROM bands GROUP BY band, val
+                HAVING count(*) BETWEEN 2 AND 4096
             ), cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                        a.simhash AS h_a, b.simhash AS h_b
-                FROM bands a JOIN bands b
+                FROM bands a
+                JOIN kept USING (band, val)
+                JOIN bands b
+                  ON a.band = b.band AND a.val = b.val
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+        """,
+        "doc_simhash64": r"""
+            WITH toks AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id, tok,
+                       count(*) AS w, md5(tok) AS h
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                      FROM documents)
+                GROUP BY doc_id, tok
+            ), bits AS (
+                SELECT doc_id, b AS bit,
+                       sum(CASE WHEN (CASE WHEN b < 32
+                                THEN substring(h, b + 1, 1) IN
+                                     ('1','3','5','7','9','b','d','f')
+                                ELSE substring(h, b - 31, 1) IN
+                                     ('2','3','6','7','a','b','e','f') END)
+                                THEN w ELSE -w END) AS s
+                FROM toks, LATERAL (SELECT unnest(generate_series(0, 63)) AS b)
+                GROUP BY doc_id, b
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN
+                                 (CASE WHEN bit = 63
+                                       THEN -9223372036854775807 - 1
+                                       ELSE CAST(pow(2, bit) AS BIGINT) END)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "dedup_simhash_pairs64": r"""
+            WITH corpus AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR) || '_c', text FROM documents
+            ), toks AS (
+                SELECT doc_id, tok, count(*) AS w, md5(tok) AS h
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                      FROM corpus)
+                GROUP BY doc_id, tok
+            ), bits AS (
+                SELECT doc_id, b AS bit,
+                       sum(CASE WHEN (CASE WHEN b < 32
+                                THEN substring(h, b + 1, 1) IN
+                                     ('1','3','5','7','9','b','d','f')
+                                ELSE substring(h, b - 31, 1) IN
+                                     ('2','3','6','7','a','b','e','f') END)
+                                THEN w ELSE -w END) AS s
+                FROM toks, LATERAL (SELECT unnest(generate_series(0, 63)) AS b)
+                GROUP BY doc_id, b
+            ), hashes AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN s > 0 THEN
+                                     (CASE WHEN bit = 63
+                                           THEN -9223372036854775807 - 1
+                                           ELSE CAST(pow(2, bit) AS BIGINT) END)
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, simhash, b AS band,
+                       (simhash >> (b * 16)) & 65535 AS val
+                FROM hashes, LATERAL (SELECT unnest(generate_series(0, 3)) AS b)
+            ), kept AS (
+                SELECT band, val FROM bands GROUP BY band, val
+                HAVING count(*) BETWEEN 2 AND 4096
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.simhash AS h_a, b.simhash AS h_b
+                FROM bands a
+                JOIN kept USING (band, val)
+                JOIN bands b
                   ON a.band = b.band AND a.val = b.val
                  AND a.doc_id < b.doc_id
             )

@@ -166,7 +166,6 @@ def transitive_closure_resumable(
     stage build.
     """
     import json
-    import os
 
     spark = seeds.sparkSession
     seeds = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
@@ -174,18 +173,35 @@ def transitive_closure_resumable(
         F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    # the commit marker MUST live on the same filesystem as the parquet
+    # frontiers (ADVICE r4): driver-local os.path against an HDFS/S3
+    # checkpoint_dir would never see the manifest, so resume would
+    # silently restart from scratch. Hadoop's FileSystem API resolves
+    # file:/, hdfs:/, s3a:/ ... exactly like df.write does.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _hpath(checkpoint_dir).getFileSystem(hconf)
+
     def fdir(i: int) -> str:
-        return os.path.join(checkpoint_dir, f"frontier={i}")
+        return f"{checkpoint_dir.rstrip('/')}/frontier={i}"
 
     def committed(i: int) -> bool:
-        return os.path.exists(os.path.join(fdir(i), "_MANIFEST.json"))
+        return fs.exists(_hpath(f"{fdir(i)}/_MANIFEST.json"))
 
     def commit(i: int, df: DataFrame) -> tuple[DataFrame, int]:
         df.write.mode("overwrite").parquet(fdir(i))
         out = spark.read.parquet(fdir(i))
         rows = out.count()
-        with open(os.path.join(fdir(i), "_MANIFEST.json"), "w") as f:
-            json.dump({"iteration": i, "rows": rows}, f)
+        stream = fs.create(_hpath(f"{fdir(i)}/_MANIFEST.json"), True)
+        try:
+            stream.write(json.dumps({"iteration": i, "rows": rows})
+                         .encode("utf-8"))
+        finally:
+            stream.close()
         return out, rows
 
     # resume point: last committed frontier

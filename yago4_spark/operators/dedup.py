@@ -50,6 +50,30 @@ def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3
     )
 
 
+def _stream_pairs(grouped: DataFrame, keep: list[str] | None = None
+                  ) -> DataFrame:
+    """C(n,2) ordered pairs from a table with an ``ids`` (sorted array)
+    column, generated STREAMING: chained generators — posexplode picks
+    each left element, then explode of the tail slice yields its
+    partners one row at a time. Peak per-row memory is O(bucket size)
+    (the ids array rides along each posexplode row), never the
+    O(bucket²) a single flatten(transform(...)) expression would
+    materialize as one row value before its explode (ADVICE r4: a
+    100k-doc bucket would OOM an executor under the flatten shape; this
+    one streams the same pairs through the same single stage — both
+    generators pipeline inside one WholeStageCodegen span, no extra
+    shuffle, no self-join recompute of the upstream aggregation)."""
+    keep = keep or []
+    return (
+        grouped.select(*keep, "ids",
+                       F.posexplode("ids").alias("_i", "id_a"))
+        .select(
+            *keep, "id_a",
+            F.explode(F.expr("slice(ids, _i + 2, size(ids))")).alias("id_b"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.8,
@@ -66,36 +90,39 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     in everything), so dropping them tightens precision too; Jaccard is
     computed over the capped shingle space on both sides of the ratio.
 
-    Blocking is grouped-pairs, not a shingle self-join: collect the
-    (sorted, per-doc-distinct) doc list per shingle, drop lists over
-    the DF cap in the same aggregation, and explode the C(df,2) ordered
-    pairs in place. A self-join would realias one side and recompute
-    the whole shingle pipeline twice (Catalyst does not reuse the
-    exchange across a self-join — measured on linking in round 3), and
-    the cap would need its own groupBy + anti-join; this shape shuffles
-    the shingle table ONCE and the cap is a post-aggregation filter.
+    Hot shingles are removed BEFORE any list aggregation (ADVICE r4): a
+    cheap count aggregate (map-side combined, rows are (shingle, long))
+    finds shingles over the DF cap — a set that is small by
+    construction (≤ occurrences/cap members) — and an anti-join drops
+    them, so no aggregation buffer ever holds a 10^6-element doc list
+    for a stop-word shingle. Surviving shingles then take the
+    grouped-pairs shape: sorted doc list per shingle, pairs streamed
+    out via :func:`_stream_pairs` (not a shingle self-join, which would
+    recompute the whole shingle pipeline twice — Catalyst does not
+    reuse the exchange across a self-join, measured on linking in
+    round 3).
     """
     from .cache import track
 
-    sh = shingles(docs, id_col, text_col, n)
-    grouped = track(
+    sh = track(shingles(docs, id_col, text_col, n))
+    hot = (
         sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_shingle_df)
+        .select("shingle")
+    )
+    cold = sh.join(hot, "shingle", "left_anti")
+    grouped = track(
+        cold.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.col("doc_id"))).alias("ids"))
-        .where(F.size("ids") <= max_shingle_df)
     )
     sizes = (
         grouped.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    pair_structs = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(x AS id_a, y AS id_b))))"
-    )
     common = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        _stream_pairs(grouped)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -146,11 +173,22 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
-                      num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                      num_hashes: int = 16, bands: int = 4,
+                      max_bucket_size: int = 4096) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH: signatures split
     into ``bands`` bands of num_hashes/bands rows; docs sharing any band
     bucket become a candidate pair. Shuffle key = (band, bucket-hash) —
-    the 100 TB-safe shape (no all-pairs)."""
+    the 100 TB-safe shape (no all-pairs).
+
+    ``max_bucket_size`` drops degenerate buckets (ADVICE r4): a bucket
+    of b docs emits C(b,2) pairs, so one boilerplate bucket at 100k docs
+    is 5e9 pairs of pure O(n²) compute. Buckets over the cap are almost
+    always a single near-identical boilerplate group — downstream exact
+    dedup (or a cluster pass on the surviving pairs) handles those more
+    cheaply than enumerating every pair. The recall trade is the same
+    one the shingle-DF cap makes; pairs inside kept buckets stream via
+    :func:`_stream_pairs` (O(bucket) per-row memory, not one C(b,2)
+    array materialized per bucket row)."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
     buckets = sig.select(
@@ -165,60 +203,64 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     # grouped-pairs, not a bucket self-join: a self-join realiases one
     # side and recomputes the whole minhash pipeline twice (Catalyst
     # does not reuse the exchange); collecting the sorted doc list per
-    # bucket and exploding C(n,2) pairs in place shuffles once
+    # bucket and streaming C(n,2) pairs out of it shuffles once
     grouped = buckets.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list(F.col("doc_id"))).alias("ids")
-    ).where(F.size("ids") >= 2)
-    pair_structs = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(x AS id_a, y AS id_b))))"
-    )
-    return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    ).where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    return _stream_pairs(grouped).select("id_a", "id_b").distinct()
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """(doc_id, simhash long): classic simhash over unigram tokens with
     md5-derived bit vectors — each bit b weighted +1/-1 by token presence
-    count; bit set when the sum is positive."""
+    count; bit set when the sum is positive. ``bits`` up to 64 (the
+    production width); bit 63 lands in the long's sign bit, so 64-bit
+    hashes can be negative — Hamming via xor + bit_count is unaffected."""
+    assert 1 <= bits <= 64, "simhash width is 1..64 (one long)"
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         .alias("tok"),
     ).select("doc_id", F.md5(F.col("tok")).alias("h"))
-    # bit b of md5: low bit of hex nibble b — tested via digit membership
-    # ('1','3',...,'f'), which is portable SQL (no conv/bit ops needed for
-    # the DuckDB oracle twin). ONE groupBy with ``bits`` SUM aggregates:
-    # summing ±1 per token occurrence equals the classic ±count(tok) per
-    # distinct token, so no (doc, tok) pre-aggregation is needed, and
-    # map-side partial agg ships one bits-wide row per (doc, partition)
-    # instead of bits × tokens rows — one shuffle total.
-    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+    # bit b of md5 (b < 32): low bit of hex nibble b; bits 32..63 reuse
+    # the nibbles' SECOND bit (digit value & 2) — two independent bit
+    # lanes from the same 32 hex chars, both tested via digit membership,
+    # which is portable SQL (no conv/bit ops needed for the DuckDB
+    # oracle twin). Round-4 trap fixed: the old code read hex digit b
+    # directly, so b >= 32 hit an empty substring and always weighed -1
+    # (silently degenerate 64-bit hashes). ONE groupBy with ``bits`` SUM
+    # aggregates: summing ±1 per token occurrence equals the classic
+    # ±count(tok) per distinct token, so no (doc, tok) pre-aggregation
+    # is needed, and map-side partial agg ships one bits-wide row per
+    # (doc, partition) instead of bits × tokens rows — one shuffle total.
+    lane0 = ("1", "3", "5", "7", "9", "b", "d", "f")   # nibble & 1
+    lane1 = ("2", "3", "6", "7", "a", "b", "e", "f")   # nibble & 2
     sums = [
         F.sum(
-            F.when(F.substring("h", b + 1, 1).isin(*odd), F.lit(1))
-            .otherwise(F.lit(-1))
+            F.when(
+                F.substring("h", (b % 32) + 1, 1)
+                .isin(*(lane0 if b < 32 else lane1)),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
         ).alias(f"_s{b}")
         for b in range(bits)
     ]
     fused = toks.groupBy("doc_id").agg(*sums)
-    sim = None
+    sim = F.lit(0).cast("long")
     for b in range(bits):
-        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")) \
+        # bitwiseOR of disjoint bits == sum, but stays overflow-free for
+        # bit 63 (shiftleft(1L, 63) is long-min — ANSI-safe, no add)
+        term = F.when(F.col(f"_s{b}") > 0, F.expr(f"shiftleft(1L, {b})")) \
             .otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
+        sim = sim.bitwiseOR(term)
     return fused.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", bits: int = 16,
                            n_bands: int = 4, max_hamming: int = 3,
-                           max_bucket_size: int = 100_000) -> DataFrame:
+                           max_bucket_size: int = 4096) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= ``max_hamming``.
     Returns (id_a, id_b, hamming), id_a < id_b.
 
@@ -228,12 +270,15 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     ``max_hamming <= n_bands - 1`` the blocking is EXACT — no recall
     loss vs all-pairs (asserted). Candidates are generated with the
     same grouped-pairs shape as ngram_jaccard_pairs (sorted doc list
-    per (band, value) bucket, pairs exploded in place — one shuffle, no
-    self-join recompute), deduped across bands, then verified with a
-    single integer xor + bit_count per pair (cheap enough that large
-    buckets are tolerable; ``max_bucket_size`` is the O(n²) safety
-    net for degenerate corpora, trading bounded recall like the
-    shingle-DF cap).
+    per (band, value) bucket, pairs STREAMED out via
+    :func:`_stream_pairs` — one shuffle, no self-join recompute, O(n)
+    per-row memory), deduped across bands, then verified with a single
+    integer xor + bit_count per pair. ``max_bucket_size`` (default
+    4096, matching embedding_near_dup_pairs's cell cap) bounds the
+    O(n²) pair compute for degenerate buckets, trading bounded recall
+    like the shingle-DF cap — ADVICE r4: the old 100k default was
+    sized for a streaming self-join's cost model, not for pair
+    enumeration (C(100k,2) ≈ 5e9 candidates from one bucket).
 
     Reference parity: the reference has no simhash family — this is
     part of the training-data-pipeline extension surface
@@ -261,16 +306,7 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.sort_array(F.collect_list(F.col("doc_id"))).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
-    pair_structs = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(x AS id_a, y AS id_b))))"
-    )
-    cand = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    cand = _stream_pairs(grouped).select("id_a", "id_b").distinct()
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
     return (
