@@ -492,6 +492,23 @@ def q_mention_candidates(spark, sf):
     )
 
 
+def q_linked_mentions(spark, sf):
+    """Full linking pipeline (candidate_mentions → link_entities):
+    fused longest-match + (score DESC, qid ASC) disambiguation per
+    start token, then containment pruning (a mention starting inside a
+    longer chosen mention to its left is dropped). Oracle replicates
+    the argmax and the running-max prune window in SQL — this is the
+    oracle twin for operators/linking.py:138-205, which
+    mention_candidates alone does not cover."""
+    from yago4_spark.operators.linking import candidate_mentions, link_entities
+
+    linked = link_entities(candidate_mentions(
+        _text_spans(spark, sf), _dict_df(spark), max_ngram=2))
+    return linked.select(
+        "doc_id", "token_start", "ngram_len", "char_start", "char_end",
+        "surface", "qid", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lineitem_scan": q_lineitem_scan,
@@ -524,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "embedding_near_dup": q_embedding_near_dup,
         "mention_candidates": q_mention_candidates,
+        "linked_mentions": q_linked_mentions,
     }
 
 
@@ -1103,5 +1121,50 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY doc_id, token_start, ngram_len
                       ORDER BY score DESC, qid ASC) rn
                   FROM cands) WHERE rn = 1
+        """,
+        "linked_mentions": r"""
+            WITH dict(surface, qid, score) AS (VALUES
+                ('spark', 101, 0.9), ('query', 103, 0.85),
+                ('data', 104, 0.7), ('data', 204, 0.7),
+                ('hash join', 106, 0.95), ('hash', 107, 0.5),
+                ('merge batch', 108, 0.8), ('window', 109, 0.6)
+            ), toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, i - 1 AS token_start, n AS ngram_len,
+                       CASE WHEN i = 1 THEN 0
+                            ELSE length(array_to_string(a[1:i-1], ' ')) + 1
+                       END AS char_start,
+                       array_to_string(a[i:i+n-1], ' ') AS surface
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(1, len(a))) AS i),
+                     LATERAL (SELECT unnest([1, 2]) AS n)
+                WHERE i + n - 1 <= len(a)
+            ), cands AS (
+                SELECT g.doc_id, g.token_start, g.ngram_len, g.char_start,
+                       g.char_start + length(g.surface) AS char_end,
+                       g.surface, d.qid,
+                       CASE WHEN g.surface = d.surface THEN d.score
+                            ELSE d.score * 0.9 END AS score
+                FROM grams g JOIN dict d ON lower(g.surface) = lower(d.surface)
+            ), chosen AS (
+                SELECT doc_id, token_start, ngram_len, char_start, char_end,
+                       surface, qid, score
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY doc_id, token_start
+                          ORDER BY ngram_len DESC, score DESC, qid ASC) rn
+                      FROM cands) WHERE rn = 1
+            ), pruned AS (
+                SELECT *, max(token_start + ngram_len) OVER (
+                    PARTITION BY doc_id ORDER BY token_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) AS prev_end
+                FROM chosen
+            )
+            SELECT doc_id, token_start, ngram_len, char_start, char_end,
+                   surface, qid, CAST(round(score, 6) AS DOUBLE) AS score
+            FROM pruned
+            WHERE prev_end IS NULL OR prev_end <= token_start
         """,
     }

@@ -43,13 +43,20 @@ HEADLINE = [
     "doc_lang_id",
     "doc_quality",
     "doc_simhash",
+    "doc_simhash64",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_simhash_pairs64",
+    "dedup_clusters",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_topk_batch",
     "embedding_near_dup",
+    "media_features",
     "mention_candidates",
+    "linked_mentions",
 ]
 
 
@@ -118,6 +125,80 @@ def main() -> None:
     link_sec = timed("linking_pipeline", lambda: force(
         link_entities(candidate_mentions(spans, entry_mod._dict_df(spark)))))
 
+    # ------------------------------------------------------------------
+    # 10× pair-family section (VERDICT r4 item 2): the pair-GENERATING
+    # operators at 10× sf0.1 (50k docs / 50k vectors), one timed run
+    # each, with EMITTED PAIR COUNTS recorded — candidate blow-up must
+    # be visible in the bench artifact before it's a production
+    # incident. Corpus: 10 deterministic copies of the sf0.1 tables;
+    # copy 0 verbatim, copies 1-9 with a one-token suffix (documents) /
+    # a 1e-4 first-component nudge (embeddings), so cross-copy rows are
+    # NEAR-dups — the adversarial shape for pair generation (each
+    # surviving group is ~10 wide → C(10,2)-ish pair fan-out).
+    sf1 = {}
+    if os.environ.get("SPARK_GRAFT_SF1_PAIRS", "1") == "1":
+        ten_dir = "/tmp/bench_pairs_10x"
+        docs10_path = f"{ten_dir}/documents10.parquet"
+        emb10_path = f"{ten_dir}/embeddings10.parquet"
+        from pyspark.sql import functions as F
+
+        if not os.path.exists(docs10_path):
+            base_docs = docs.select(
+                F.col("doc_id").cast("string").alias("doc_id"), "text")
+            copies = base_docs.crossJoin(
+                spark.range(10).select(F.col("id").alias("copy")))
+            (copies.select(
+                F.concat("doc_id", F.lit("_"), F.col("copy").cast("string"))
+                .alias("doc_id"),
+                F.when(F.col("copy") == 0, F.col("text"))
+                .otherwise(F.concat("text", F.lit(" rev"),
+                                    F.col("copy").cast("string")))
+                .alias("text"))
+             .write.mode("overwrite").parquet(docs10_path))
+        if not os.path.exists(emb10_path):
+            base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            copies = base_emb.crossJoin(
+                spark.range(10).select(F.col("id").alias("copy")))
+            (copies.select(
+                (F.col("vec_id") * 10 + F.col("copy")).alias("vec_id"),
+                F.expr("transform(embedding, (x, i) -> CAST(x + "
+                       "IF(i = 0, copy * 1e-4, 0) AS FLOAT))")
+                .alias("embedding"))
+             .write.mode("overwrite").parquet(emb10_path))
+        docs10 = spark.read.parquet(docs10_path)
+        emb10 = spark.read.parquet(emb10_path)
+
+        from yago4_spark.operators.dedup import (dup_clusters,
+                                                 minhash_lsh_pairs,
+                                                 ngram_jaccard_pairs,
+                                                 simhash_near_dup_pairs)
+        from yago4_spark.operators.similarity import (
+            embedding_near_dup_pairs, ivf_topk_batch)
+
+        pair_jobs = {
+            "minhash_lsh_pairs_10x": lambda: minhash_lsh_pairs(
+                docs10, num_hashes=16, bands=4),
+            "ngram_jaccard_pairs_10x": lambda: ngram_jaccard_pairs(
+                docs10, threshold=0.8),
+            "simhash64_pairs_10x": lambda: simhash_near_dup_pairs(
+                docs10, bits=64, n_bands=4, max_hamming=3),
+            "dedup_clusters_10x": lambda: dup_clusters(
+                minhash_lsh_pairs(docs10, num_hashes=16, bands=4)),
+            "embedding_near_dup_10x": lambda: embedding_near_dup_pairs(
+                emb10, threshold=0.999, n_cells=8),
+            "ann_ivf_topk_batch_10x": lambda: ivf_topk_batch(
+                emb10, [(0, [1.0] + [0.0] * 63),
+                        (1, [0.0] * 7 + [1.0] + [0.0] * 56),
+                        (2, [0.5] * 16 + [0.0] * 48)], k=10,
+                n_cells=8, n_probe=2),
+        }
+        for name, job in pair_jobs.items():
+            t0 = time.time()
+            n_pairs = job().count()
+            sf1[name] = {"sec": round(time.time() - t0, 3),
+                         "pairs": n_pairs}
+            release_all()
+
     wall = round(time.time() - t_total0, 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -130,6 +211,7 @@ def main() -> None:
         "wall_sec": wall,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "sf": sf,
+        "pairs_10x": sf1,
         "docs_per_sec": round(n_docs / link_sec, 1),
         "ingest_lines_per_sec": round(n_lines / ingest_sec, 1),
         "cpus": cpus,

@@ -95,6 +95,82 @@ def test_convert_time_cols_match_scalar_twin(spark):
         assert got == want, (r["lex"], r["prec"], r["cal"], got, want)
 
 
+def test_convert_time_julian_opt_in(spark):
+    """ROADMAP r5 / reference TODO src/plan.rs:1502: the reference DROPS
+    proleptic-Julian times; ``emit_julian=True`` converts them to
+    proleptic Gregorian instead — a documented opt-in divergence.
+    Checks: canonical day shifts (1582: 10 days, 1900: 13 days), the
+    time-of-day part surviving precision 14, year/month passthrough at
+    precisions 9/10, default behavior unchanged (dropped), and the
+    column math pinned to the Python twin across a corpus that includes
+    negative (astronomical) years and Julian leap days."""
+    from pyspark.sql import functions as F
+
+    from yago4_spark import vocab
+    from yago4_spark.functions.values import (
+        convert_time_cols,
+        convert_time_py,
+        julian_to_gregorian_py,
+    )
+
+    # canonical Julian→Gregorian equivalences
+    assert julian_to_gregorian_py(1582, 10, 5) == (1582, 10, 15)
+    assert julian_to_gregorian_py(1900, 1, 1) == (1900, 1, 13)
+    assert julian_to_gregorian_py(1700, 2, 29) == (1700, 3, 11)  # Julian leap
+    # round-trip vs Python's proleptic-Gregorian ordinal for a spread of
+    # dates: JDN(gregorian result) must equal JDN(julian input)
+    from datetime import date
+
+    for jy, jm, jd in [(1582, 10, 5), (1000, 3, 1), (1899, 2, 28),
+                       (1752, 9, 2), (4, 2, 29)]:
+        gy, gm, gd = julian_to_gregorian_py(jy, jm, jd)
+        a = (14 - jm) // 12
+        yy, mm = jy + 4800 - a, jm + 12 * a - 3
+        jdn = jd + (153 * mm + 2) // 5 + 365 * yy + yy // 4 - 32083
+        assert date(gy, gm, gd).toordinal() + 1721425 == jdn
+
+    corpus = [
+        ("1582-10-05T00:00:00Z", 11, vocab.Q_PROLEPTIC_JULIAN),
+        ("1900-01-01T12:34:56Z", 14, vocab.Q_PROLEPTIC_JULIAN),
+        ("1700-02-29T00:00:00Z", 11, vocab.Q_PROLEPTIC_JULIAN),
+        ("1666-01-01T00:00:00Z", 9, vocab.Q_PROLEPTIC_JULIAN),
+        ("1666-03-01T00:00:00Z", 10, vocab.Q_PROLEPTIC_JULIAN),
+        ("-0044-03-15T00:00:00Z", 11, vocab.Q_PROLEPTIC_JULIAN),
+        ("0000-01-01T00:00:00Z", 11, vocab.Q_PROLEPTIC_JULIAN),
+        ("1987-06-17T00:00:00Z", 11, vocab.Q_PROLEPTIC_GREGORIAN),
+    ]
+    df = spark.createDataFrame(corpus, "lex string, prec int, cal long")
+
+    # default: Julian still dropped (reference parity — the 1M
+    # differential is unchanged under the default)
+    lex0, _ = convert_time_cols(F.col("lex"), F.col("prec"), F.col("cal"))
+    kept = [r["lex"] for r in df.select("lex", lex0.alias("o"))
+            .where(F.col("o").isNotNull()).collect()]
+    assert kept == ["1987-06-17T00:00:00Z"]
+
+    lex1, dt1 = convert_time_cols(F.col("lex"), F.col("prec"), F.col("cal"),
+                                  emit_julian=True)
+    rows = df.select("lex", "prec", "cal", lex1.alias("o"),
+                     dt1.alias("d")).collect()
+    got = {r["lex"]: (r["o"], r["d"]) for r in rows}
+    assert got["1582-10-05T00:00:00Z"] == ("1582-10-15", vocab.XSD_DATE)
+    assert got["1900-01-01T12:34:56Z"] == (
+        "1900-01-13T12:34:56+00:00", vocab.XSD_DATE_TIME)
+    assert got["1700-02-29T00:00:00Z"] == ("1700-03-11", vocab.XSD_DATE)
+    assert got["1666-01-01T00:00:00Z"][0] == "1666"          # 9: passthrough
+    assert got["1666-03-01T00:00:00Z"][0] == "1666-03"       # 10: passthrough
+    assert got["-0044-03-15T00:00:00Z"] == ("-0044-03-13", vocab.XSD_DATE)
+    assert got["0000-01-01T00:00:00Z"] == ("-0001-12-30", vocab.XSD_DATE)
+    assert got["1987-06-17T00:00:00Z"] == ("1987-06-17", vocab.XSD_DATE)
+
+    # column == twin, both modes
+    for r in rows:
+        want = convert_time_py(r["lex"], r["prec"], r["cal"],
+                               emit_julian=True)
+        g = None if r["o"] is None else (r["o"], r["d"])
+        assert g == want, (r["lex"], g, want)
+
+
 def test_nt_escape_col_matches_scalar_twin(spark):
     """The JVM-side escape column == the differential-verified
     escape_nt_py over the adversarial NT corpus."""

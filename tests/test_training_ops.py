@@ -406,6 +406,19 @@ def test_media_real_decode_kernels():
     assert bands[:4] == [0.0] * 4
     assert all(abs(x - 32767 / 32768) < 1e-5 for x in bands[4:])
 
+    # stereo WAV: channels (0, full-scale) must AVERAGE to half-scale,
+    # not pick one channel (the mono of [0,32767] is ~16383.5/32768)
+    stereo = np.zeros(32, dtype="<i2")
+    stereo[1::2] = 32767  # right channel full-scale, left silent
+    sbuf = io.BytesIO()
+    with wave.open(sbuf, "wb") as wv:
+        wv.setnchannels(2); wv.setsampwidth(2); wv.setframerate(8000)
+        wv.writeframes(stereo.tobytes())
+    sdur, sbands = decode_wav(sbuf.getvalue())
+    assert sdur == 2  # 16 FRAMES @8kHz — frames, not samples
+    half = 32767 / 2 / 32768
+    assert all(abs(x - half) < 1e-5 for x in sbands), sbands
+
     # dispatch + honest stub boundary
     kind, _, _, dur2, _ = decode_payload(buf.getvalue())
     assert (kind, dur2) == ("audio", 2)
@@ -515,6 +528,30 @@ def test_simhash_near_dup_pairs_exact_blocking(spark, docs):
                                            max_hamming=3).collect()}
     assert got == expect
     assert ("a", "b", 0) in got  # identical docs
+
+
+def test_lsh_band_buckets(spark):
+    """Pins the LSH band slice arithmetic to a Python md5 twin: band b
+    must hash EXACTLY sig[b*rows:(b+1)*rows]. Pair-level oracles can't
+    see a consistent band-boundary shift (exact dups agree at every
+    position), so this is the designated killer for banding mutations
+    (scripts/mutation_check_ops.py lsh_band_slice_off_by_one)."""
+    import hashlib
+
+    from yago4_spark.operators.dedup import lsh_band_buckets
+
+    sigs = [("d1", [f"h{i:02d}" for i in range(8)]),
+            ("d2", [f"x{i:02d}" for i in range(8)])]
+    df = spark.createDataFrame(sigs, "doc_id string, sig array<string>")
+    for bands, rows in [(2, 4), (4, 2), (8, 1)]:
+        got = {(r["doc_id"], r["band"]): r["bucket"]
+               for r in lsh_band_buckets(df, bands, rows).collect()}
+        for doc, sig in sigs:
+            for b in range(bands):
+                want = hashlib.md5(
+                    "|".join(sig[b * rows:(b + 1) * rows]).encode()
+                ).hexdigest()
+                assert got[(doc, b)] == want, (doc, b, bands, rows)
 
 
 def test_simhash64_non_degenerate_and_exact(spark):

@@ -33,13 +33,66 @@ from .. import vocab
 _TIME_RE = r"^(-?\d{4,})-(\d{2})-(\d{2})T"
 
 
+def _julian_to_gregorian_cols(y: Column, m: Column, d: Column
+                              ) -> tuple[Column, Column, Column]:
+    """Proleptic-Julian (Y, M, D) → proleptic-Gregorian (Y, M, D) via
+    Julian Day Number arithmetic (Fliegel–Van Flandern / calendar FAQ
+    algorithms, pure integer column math). FLOOR division throughout —
+    Spark's integer `div` truncates toward zero, which breaks negative
+    (BCE, astronomical-numbered) years; doubles are exact at these
+    magnitudes (< 2^40)."""
+    def fdiv(a: Column, b: int) -> Column:
+        return F.floor(a / F.lit(b)).cast("long")
+
+    a = fdiv(F.lit(14) - m, 12)
+    yy = y + 4800 - a
+    mm = m + 12 * a - 3
+    jdn = d + fdiv(F.lit(153) * mm + 2, 5) + F.lit(365) * yy \
+        + fdiv(yy, 4) - 32083
+    ga = jdn + 32044
+    gb = fdiv(F.lit(4) * ga + 3, 146097)
+    gc = ga - fdiv(F.lit(146097) * gb, 4)
+    gd = fdiv(F.lit(4) * gc + 3, 1461)
+    ge = gc - fdiv(F.lit(1461) * gd, 4)
+    gm = fdiv(F.lit(5) * ge + 2, 153)
+    out_d = ge - fdiv(F.lit(153) * gm + 2, 5) + 1
+    out_m = gm + 3 - 12 * fdiv(gm, 10)
+    out_y = F.lit(100) * gb + gd - 4800 + fdiv(gm, 10)
+    return out_y, out_m, out_d
+
+
+def _format_year(y: Column) -> Column:
+    """Numeric year → chrono-style lexical: 4-digit zero-pad, '-' kept,
+    '+' prefix for years >= 10000 (the convention convert_time emits —
+    see the rustc differential note below)."""
+    absy = F.lpad(F.abs(y).cast("string"), 4, "0")
+    return (
+        F.when(y < 0, F.concat(F.lit("-"), absy))
+        .when(y > 9999, F.concat(F.lit("+"), y.cast("string")))
+        .otherwise(absy)
+    )
+
+
 def convert_time_cols(value_text: Column, precision: Column,
-                      calendar_qid: Column) -> tuple[Column, Column]:
+                      calendar_qid: Column,
+                      emit_julian: bool = False) -> tuple[Column, Column]:
     """(lexical, datatype) for a Wikibase time; NULL lexical = dropped.
 
     ``value_text`` is the RFC3339 lexical form of the xsd:dateTime the
     dump carried. String surgery, no TimestampType — Spark timestamps
     can't hold negative years and would shift timezones.
+
+    ``emit_julian`` (default False = reference parity): the reference
+    DROPS proleptic-Julian times (src/plan.rs:1502 TODO — only
+    wd:Q1985727 Gregorian is emitted). With the flag on, Julian values
+    are CONVERTED to the proleptic Gregorian calendar and emitted — a
+    documented, opt-in DIVERGENCE from the reference: day-precision
+    (11) and second-precision (14) values get an exact Julian-day-number
+    date conversion; year/month precisions (9/10) pass through
+    unchanged (a year-level Julian↔Gregorian shift only exists for the
+    ~13 days around new year, below those precisions' resolution). The
+    lexical year is read as astronomical numbering (year 0 = 1 BCE),
+    which is how the dump stores it.
     """
     year = F.regexp_extract(value_text, _TIME_RE, 1)
     month = F.regexp_extract(value_text, _TIME_RE, 2)
@@ -50,17 +103,36 @@ def convert_time_cols(value_text: Column, precision: Column,
     expanded = (F.length(year) > 4) & ~year.startswith("-")
     year = F.when(expanded, F.concat(F.lit("+"), year)).otherwise(year)
     gregorian = calendar_qid == vocab.Q_PROLEPTIC_GREGORIAN
+    julian = calendar_qid == vocab.Q_PROLEPTIC_JULIAN
     ok = gregorian & (year != "")
     # the reference re-emits precision-14 values via to_rfc3339(), which
     # renders UTC as +00:00 (src/model.rs:249-253)
     rfc = F.regexp_replace(value_text, "Z$", "+00:00")
     rfc = F.when(expanded, F.concat(F.lit("+"), rfc)).otherwise(rfc)
+    if emit_julian:
+        gy, gm, gd = _julian_to_gregorian_cols(
+            F.regexp_extract(value_text, _TIME_RE, 1).cast("long"),
+            month.cast("long"), day.cast("long"))
+        jdate = F.concat_ws(
+            "-", _format_year(gy),
+            F.lpad(gm.cast("string"), 2, "0"),
+            F.lpad(gd.cast("string"), 2, "0"))
+        time_part = F.regexp_replace(rfc, r"^\+?-?\d{4,}-\d{2}-\d{2}T", "")
+        year = F.when(julian, year).otherwise(year)  # 9/10 pass through
+        day_lex = F.when(julian, jdate).otherwise(
+            F.concat_ws("-", year, month, day))
+        dt_lex = F.when(julian, F.concat(jdate, F.lit("T"), time_part)) \
+            .otherwise(rfc)
+        ok = (gregorian | julian) & (year != "")
+    else:
+        day_lex = F.concat_ws("-", year, month, day)
+        dt_lex = rfc
     lexical = (
         F.when(~ok, F.lit(None).cast("string"))
         .when(precision == 9, year)
         .when(precision == 10, F.concat_ws("-", year, month))
-        .when(precision == 11, F.concat_ws("-", year, month, day))
-        .when(precision == 14, rfc)
+        .when(precision == 11, day_lex)
+        .when(precision == 14, dt_lex)
         .otherwise(F.lit(None).cast("string"))
     )
     datatype = (
@@ -72,8 +144,33 @@ def convert_time_cols(value_text: Column, precision: Column,
     return lexical, datatype
 
 
+def julian_to_gregorian_py(y: int, m: int, d: int) -> tuple[int, int, int]:
+    """Pure-Python twin of :func:`_julian_to_gregorian_cols` (Python //
+    is floor division, matching the column math exactly)."""
+    a = (14 - m) // 12
+    yy = y + 4800 - a
+    mm = m + 12 * a - 3
+    jdn = d + (153 * mm + 2) // 5 + 365 * yy + yy // 4 - 32083
+    ga = jdn + 32044
+    gb = (4 * ga + 3) // 146097
+    gc = ga - 146097 * gb // 4
+    gd = (4 * gc + 3) // 1461
+    ge = gc - 1461 * gd // 4
+    gm = (5 * ge + 2) // 153
+    return (100 * gb + gd - 4800 + gm // 10,
+            gm + 3 - 12 * (gm // 10),
+            ge - (153 * gm + 2) // 5 + 1)
+
+
+def _format_year_py(y: int) -> str:
+    if y < 0:
+        return f"-{abs(y):04d}"
+    return f"+{y}" if y > 9999 else f"{y:04d}"
+
+
 def convert_time_py(value_text: str, precision: int,
-                    calendar_qid: int) -> tuple[str, str] | None:
+                    calendar_qid: int,
+                    emit_julian: bool = False) -> tuple[str, str] | None:
     """Pure-Python twin of :func:`convert_time_cols` — the comparison
     side of the rustc differential (family convert_time), which runs the
     reference's convert_time body (src/plan.rs:1498-1524) verbatim over
@@ -81,13 +178,22 @@ def convert_time_py(value_text: str, precision: int,
     test_values_convert_time_twins pins this to the Column version."""
     import re
 
-    if calendar_qid != vocab.Q_PROLEPTIC_GREGORIAN:
+    is_julian = emit_julian and calendar_qid == vocab.Q_PROLEPTIC_JULIAN
+    if calendar_qid != vocab.Q_PROLEPTIC_GREGORIAN and not is_julian:
         return None
     m = re.match(_TIME_RE, value_text)
     if not m:
         return None
     year, month, day = m.groups()
     plus = len(year) > 4 and not year.startswith("-")
+    if is_julian and precision in (11, 14):
+        gy, gm, gd = julian_to_gregorian_py(int(year), int(month), int(day))
+        gdate = f"{_format_year_py(gy)}-{gm:02d}-{gd:02d}"
+        if precision == 11:
+            return gdate, vocab.XSD_DATE
+        rfc = re.sub("Z$", "+00:00", value_text)
+        time_part = re.sub(r"^-?\d{4,}-\d{2}-\d{2}T", "", rfc)
+        return f"{gdate}T{time_part}", vocab.XSD_DATE_TIME
     if plus:
         year = "+" + year
     if precision == 9:

@@ -171,6 +171,27 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def lsh_band_buckets(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bucket) from a (doc_id, sig: array) signature
+    table: band b's bucket is md5 over EXACTLY signature positions
+    [b*rows, (b+1)*rows) joined with '|'. Extracted from
+    minhash_lsh_pairs so the slice arithmetic has a direct unit oracle
+    (test_lsh_band_buckets pins it to a Python md5 twin) — an off-by-one
+    here shifts every bucket CONSISTENTLY, which pair-level oracles on
+    exact-duplicate-dominated corpora cannot see (the round-5 LLM-ops
+    mutation sweep found exactly that blind spot)."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b as band, md5(array_join(slice(sig, b * {rows} + 1, {rows}), '|')) as bucket))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.band").alias("band"),
+             F.col("g.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 16, bands: int = 4,
@@ -191,15 +212,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     array materialized per bucket row)."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
-    buckets = sig.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b as band, md5(array_join(slice(sig, b * {rows} + 1, {rows}), '|')) as bucket))"
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.band").alias("band"), F.col("g.bucket").alias("bucket"))
+    buckets = lsh_band_buckets(sig, bands, rows)
     # grouped-pairs, not a bucket self-join: a self-join realiases one
     # side and recomputes the whole minhash pipeline twice (Catalyst
     # does not reuse the exchange); collecting the sorted doc list per

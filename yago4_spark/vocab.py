@@ -138,6 +138,7 @@ WIKIBASE_QUANTITY_UPPER_BOUND = WIKIBASE + "quantityUpperBound"
 # 1498-1524, 1578-1630).
 Q_EARTH = 2
 Q_PROLEPTIC_GREGORIAN = 1985727
+Q_PROLEPTIC_JULIAN = 1985786
 Q_UNIT_ONE = 199
 Q_SECOND = 11574
 Q_MINUTE = 7727
