@@ -41,6 +41,13 @@ DEMO_DICT = [
     ("hash", 107, 0.5),
     ("merge batch", 108, 0.8),
     ("window", 109, 0.6),
+    # "join" overlaps the tail of "hash join": standalone occurrences
+    # are legit mentions, occurrences inside a chosen "hash join" are
+    # CONTAINED and must be pruned — keeps link_entities' containment
+    # path live in the driver-gate corpus (the round-5 ops mutation
+    # sweep found it vacuous without this: no dictionary surface
+    # started inside another match)
+    ("join", 110, 0.45),
 ]
 
 
@@ -1092,7 +1099,8 @@ def oracle_sql() -> dict[str, str]:
                 ('spark', 101, 0.9), ('query', 103, 0.85),
                 ('data', 104, 0.7), ('data', 204, 0.7),
                 ('hash join', 106, 0.95), ('hash', 107, 0.5),
-                ('merge batch', 108, 0.8), ('window', 109, 0.6)
+                ('merge batch', 108, 0.8), ('window', 109, 0.6),
+                ('join', 110, 0.45)
             ), toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
                 FROM documents
@@ -1127,7 +1135,8 @@ def oracle_sql() -> dict[str, str]:
                 ('spark', 101, 0.9), ('query', 103, 0.85),
                 ('data', 104, 0.7), ('data', 204, 0.7),
                 ('hash join', 106, 0.95), ('hash', 107, 0.5),
-                ('merge batch', 108, 0.8), ('window', 109, 0.6)
+                ('merge batch', 108, 0.8), ('window', 109, 0.6),
+                ('join', 110, 0.45)
             ), toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
                 FROM documents

@@ -171,7 +171,11 @@ MUTATIONS = [
             '               | (F.col("_prev_end") <= F.col("token_start")))',
         new='.where(F.lit(True))',
         expect="linked_mentions (mentions inside a longer chosen mention "
-               "leak through)",
+               "leak through — live in the driver corpus since 'join' "
+               "joined DEMO_DICT; the crafted New-York golden is the "
+               "belt-and-braces killer)",
+        tests=["tests/test_documents_linking.py::"
+               "test_longest_match_and_containment"],
     ),
     dict(
         name="prefix_prefilter_case_lossy",
@@ -180,18 +184,20 @@ MUTATIONS = [
             '           "left_semi")',
         new='.join(first_toks, F.col("_tok") == F.col("_first_lc"),\n'
             '           "left_semi")',
-        expect="mention_candidates / linked_mentions (case-variant "
-               "mentions never reach the dictionary join — the prune "
-               "became lossy, exactly what its no-match-lost comment "
-               "promises cannot happen)",
+        expect="test-killed: the sf corpus is all-lowercase, so a "
+               "case-lossy prefilter is equivalent there; the "
+               "berlin/Berlin golden exercises the variant path",
+        tests=["tests/test_documents_linking.py::test_case_variant_scoring"],
     ),
     dict(
         name="case_variant_bonus_dropped",
         file="yago4_spark/operators/linking.py",
         old='.otherwise(F.col("score") * 0.9)',
         new='.otherwise(F.col("score"))',
-        expect="mention_candidates / linked_mentions (case-variant "
-               "matches keep full score → scores and tie-breaks move)",
+        expect="test-killed: no case variants exist in the "
+               "all-lowercase sf corpus; the berlin/Berlin golden pins "
+               "the 0.9 bonus",
+        tests=["tests/test_documents_linking.py::test_case_variant_scoring"],
     ),
     # ---- functions/text.py --------------------------------------------
     dict(
@@ -199,15 +205,21 @@ MUTATIONS = [
         file="yago4_spark/functions/text.py",
         old='F.md5(F.lower(F.regexp_replace(F.trim(text), r"\\s+", " ")))',
         new='F.md5(F.lower(F.trim(text)))',
-        expect="dedup_exact / doc_text_stats (fp no longer "
-               "whitespace-normalized)",
+        expect="test-killed: sf docs are single-spaced, so the "
+               "collapse is equivalent there; the twin test feeds "
+               "whitespace runs",
+        tests=["tests/test_training_ops.py::test_text_function_twins"],
     ),
     dict(
         name="quality_weight_skew",
         file="yago4_spark/functions/text.py",
         old="return F.round((length_ok * 0.4 + word_ok * 0.4 + punct_ok * 0.2), 6)",
         new="return F.round((length_ok * 0.5 + word_ok * 0.3 + punct_ok * 0.2), 6)",
-        expect="doc_quality (score weights move)",
+        expect="test-killed: every sf doc saturates length_ok == "
+               "word_ok == 1.0, where a 0.4/0.4 -> 0.5/0.3 split is "
+               "arithmetically invisible; the twin test pins docs where "
+               "the gates disagree",
+        tests=["tests/test_training_ops.py::test_text_function_twins"],
     ),
     # ---- functions/media.py -------------------------------------------
     dict(

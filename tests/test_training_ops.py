@@ -530,6 +530,33 @@ def test_simhash_near_dup_pairs_exact_blocking(spark, docs):
     assert ("a", "b", 0) in got  # identical docs
 
 
+def test_text_function_twins(spark):
+    """fingerprint normalization + quality_score component weights
+    pinned on adversarial strings the parquet corpus does NOT contain
+    (whitespace runs, mixed case, sub-threshold token counts) — the
+    designated killers for mutation_check_ops' fingerprint/quality
+    mutants, which are equivalent-on-corpus at sf0.01 (every sf doc is
+    lowercase, single-spaced, 10-99 tokens with sane word lengths, so
+    those code paths never fire there)."""
+    import hashlib
+
+    from yago4_spark.functions.text import fingerprint, quality_score
+
+    df = spark.createDataFrame(
+        [("a", "A  b\tC   d e f g h i j"),   # ws runs + case, 10 toks
+         ("b", "one two"),                    # 2 tokens → length_ok 0.3
+         ("c", "superlongtoken" * 3 + " word")],  # mwl > 12 → word_ok 0.4
+        "id string, text string")
+    rows = {r["id"]: r for r in df.select(
+        "id", fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("q")).collect()}
+    assert rows["a"]["fp"] == hashlib.md5(b"a b c d e f g h i j").hexdigest()
+    # b: length_ok 0.3 (n=2 < 10), word_ok 1.0 (mwl 3), punct_ok 1.0
+    assert rows["b"]["q"] == round(0.3 * 0.4 + 1.0 * 0.4 + 1.0 * 0.2, 6)
+    # c: length_ok 0.3 (n=2), word_ok 0.4 (mwl (42+4)/2 = 23), punct 1.0
+    assert rows["c"]["q"] == round(0.3 * 0.4 + 0.4 * 0.4 + 1.0 * 0.2, 6)
+
+
 def test_lsh_band_buckets(spark):
     """Pins the LSH band slice arithmetic to a Python md5 twin: band b
     must hash EXACTLY sig[b*rows:(b+1)*rows]. Pair-level oracles can't

@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # verification harnesses collect whole output families for
+        # set-compare (differential_report at 10M collects ~34M-row
+        # families, > the 1g default); engine code itself never
+        # collects anything data-sized
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # The 4096-row default spill thresholds make WindowExec/SMJ spill
