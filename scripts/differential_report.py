@@ -29,58 +29,76 @@ def pr(got: set, expected: set) -> tuple[float, float]:
             tp / len(expected) if expected else 1.0)
 
 
+def pr_stream(df, expected: set, to_key) -> tuple[float, float, int]:
+    """Streamed precision/recall: DISTINCT Spark-side, then iterate via
+    toLocalIterator probing the expected set — never materializes the
+    got set driver-side. At 10M entities the big families are ~34M rows
+    each; the old build-a-Python-set-per-family shape transiently
+    peaked ~80 GB on top of the oracle's own sets and OOMed a 125 GB
+    box. Distinctness lives in Spark (exact), so P = tp/n and
+    R = tp/|expected| are identical to the set formulation as long as
+    to_key is injective on distinct rows (it is: term serialization is
+    canonical; a collision would surface as R > 1.0, not silently
+    pass)."""
+    tp = n = 0
+    for r in df.distinct().toLocalIterator(prefetchPartitions=True):
+        k = to_key(r)
+        if k is None:
+            continue
+        n += 1
+        if k in expected:
+            tp += 1
+    return (tp / n if n else 1.0, tp / len(expected) if expected else 1.0, n)
+
+
 def collect_family_rows(res, oracle) -> list[tuple]:
     """[(family, precision, recall, got_rows)] for the 12 output
     families — shared by the report and scripts/mutation_check.py."""
     rows = []
-    got_uri = {(r["qid"], r["yago"])
-               for r in res.catalog.read("uri_mapping").collect()}
-    rows.append(("uri_mapping", *pr(got_uri, set(oracle.uri.items())),
-                 len(got_uri)))
-    got_cls = {(r["cls"],) for r in res.catalog.read("yago_classes").collect()}
-    rows.append(("yago_classes",
-                 *pr(got_cls, {(c,) for c in oracle.yago_classes}),
-                 len(got_cls)))
-    got_map = {(r["qid"], r["cls"])
-               for r in res.catalog.read("class_mapping").collect()}
-    rows.append(("class_mapping", *pr(got_map, oracle.class_mapping),
-                 len(got_map)))
-    got_sub = {(r["child"], r["parent"])
-               for r in res.catalog.read("sub_class_of").collect()}
-    rows.append(("sub_class_of", *pr(got_sub, oracle.sub_class_of),
-                 len(got_sub)))
-    got_inst = {(r["shape"], r["instance"])
-                for r in res.catalog.read("shape_instances").collect()}
+    rows.append(("uri_mapping", *pr_stream(
+        res.catalog.read("uri_mapping"), set(oracle.uri.items()),
+        lambda r: (r["qid"], r["yago"]))))
+    rows.append(("yago_classes", *pr_stream(
+        res.catalog.read("yago_classes"),
+        {(c,) for c in oracle.yago_classes}, lambda r: (r["cls"],))))
+    rows.append(("class_mapping", *pr_stream(
+        res.catalog.read("class_mapping"), oracle.class_mapping,
+        lambda r: (r["qid"], r["cls"]))))
+    rows.append(("sub_class_of", *pr_stream(
+        res.catalog.read("sub_class_of"), oracle.sub_class_of,
+        lambda r: (r["child"], r["parent"]))))
     exp_inst = {(s, i) for s, insts in oracle.instances.items()
                 for i in insts}
-    rows.append(("shape_instances", *pr(got_inst, exp_inst), len(got_inst)))
+    rows.append(("shape_instances", *pr_stream(
+        res.catalog.read("shape_instances"), exp_inst,
+        lambda r: (r["shape"], r["instance"]))))
 
     preds = {p_ for (_, p_, _) in oracle.facts}
-    got_facts = set()
-    for r in res.outputs["facts"].collect():
-        p_ = r["predicate"]["text"]
-        if p_ in preds:
-            got_facts.add((r["subject"]["text"], p_,
-                           terms.term_to_nt_py(r["object"].asDict())))
-    rows.append(("facts (all 9 branches + sides)", *pr(got_facts, oracle.facts),
-                 len(got_facts)))
-    got_ann = set()
-    for r in res.outputs["annotated_facts"].collect():
-        if r["annotation_predicate"] is None:
-            continue
-        got_ann.add((r["subject"]["text"], r["predicate"]["text"],
-                     terms.term_to_nt_py(r["object"].asDict()),
-                     r["annotation_predicate"]["text"],
-                     terms.term_to_nt_py(r["annotation_object"].asDict())))
-    rows.append(("annotated_facts (RDF★)", *pr(got_ann, oracle.annotated),
-                 len(got_ann)))
 
-    def spo(df):
-        return {
-            (r["subject"]["text"], r["predicate"]["text"],
-             terms.term_to_nt_py(r["object"].asDict()))
-            for r in df.collect()
-        }
+    def fact_key(r):
+        p_ = r["predicate"]["text"]
+        if p_ not in preds:
+            return None
+        return (r["subject"]["text"], p_,
+                terms.term_to_nt_py(r["object"].asDict()))
+
+    rows.append(("facts (all 9 branches + sides)",
+                 *pr_stream(res.outputs["facts"], oracle.facts, fact_key)))
+
+    def ann_key(r):
+        if r["annotation_predicate"] is None:
+            return None
+        return (r["subject"]["text"], r["predicate"]["text"],
+                terms.term_to_nt_py(r["object"].asDict()),
+                r["annotation_predicate"]["text"],
+                terms.term_to_nt_py(r["annotation_object"].asDict()))
+
+    rows.append(("annotated_facts (RDF★)", *pr_stream(
+        res.outputs["annotated_facts"], oracle.annotated, ann_key)))
+
+    def spo_key(r):
+        return (r["subject"]["text"], r["predicate"]["text"],
+                terms.term_to_nt_py(r["object"].asDict()))
 
     for out_name, expected in (
         ("classes", oracle.classes_out),
@@ -89,8 +107,8 @@ def collect_family_rows(res, oracle) -> list[tuple]:
         ("labels", oracle.labels_out),
         ("same_as", oracle.same_as),
     ):
-        got = spo(res.outputs[out_name])
-        rows.append((out_name, *pr(got, expected), len(got)))
+        rows.append((out_name, *pr_stream(res.outputs[out_name], expected,
+                                          spo_key)))
     return rows
 
 
@@ -151,6 +169,12 @@ def main() -> None:
     oracle = compute_oracle(gt)
     t_gen = time.time() - t0
     StatementsTable.write(statements_df(spark, gt), f"{base}/statements")
+    # the raw statements are the single biggest ground-truth member
+    # (~72M rows at 10M entities); once written they are only read back
+    # through Spark — free them so the compare phase keeps only the
+    # oracle's expected sets in Python memory
+    n_stmt = len(gt.statements)
+    gt.statements = None
     closure_trace = install_closure_trace() if deep else None
     t0 = time.time()
     res = run_pipeline(spark, f"{base}/statements", f"{base}/work", gt.schema)
@@ -200,7 +224,6 @@ def main() -> None:
                  *pr(got_schema, schema_surface_from_config(sch)),
                  len(got_schema)))
 
-    n_stmt = len(gt.statements)
     cfg = ("REAL 268-shape reference config" if use_real
            else "sample_schema (8 shapes)")
     lines = [
