@@ -14,6 +14,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from yago4_spark import terms, vocab
 from yago4_spark.fixtures_large import compute_oracle, generate, statements_df
 from yago4_spark.pipeline import run_pipeline
@@ -29,77 +31,110 @@ def pr(got: set, expected: set) -> tuple[float, float]:
             tp / len(expected) if expected else 1.0)
 
 
-def pr_stream(df, expected: set, to_key) -> tuple[float, float, int]:
-    """Streamed precision/recall: DISTINCT Spark-side, then iterate via
-    toLocalIterator probing the expected set — never materializes the
-    got set driver-side. At 10M entities the big families are ~34M rows
-    each; the old build-a-Python-set-per-family shape transiently
-    peaked ~80 GB on top of the oracle's own sets and OOMed a 125 GB
-    box. Distinctness lives in Spark (exact), so P = tp/n and
-    R = tp/|expected| are identical to the set formulation as long as
-    to_key is injective on distinct rows (it is: term serialization is
-    canonical; a collision would surface as R > 1.0, not silently
-    pass)."""
-    tp = n = 0
-    for r in df.distinct().toLocalIterator(prefetchPartitions=True):
-        k = to_key(r)
-        if k is None:
-            continue
-        n += 1
-        if k in expected:
-            tp += 1
+SEP = "\x1e"  # record separator — cannot occur in IRIs/NT lexicals
+
+
+def _key(k) -> str:
+    if isinstance(k, tuple):
+        return SEP.join(str(x) for x in k)
+    return str(k)
+
+
+def pr_spark(got_keys, expected: set) -> tuple[float, float, int]:
+    """Spark-side precision/recall: got keys (one string column ``key``)
+    distinct + counted in Spark; tp = inner-join count against the
+    parallelized expected keys. Nothing data-sized ever lands on the
+    driver — at 10M entities the big families are ~34M rows each and
+    both the collect-a-set (80 GB transient, OOM) and the
+    toLocalIterator-stream (driver-core-bound, hours) shapes failed;
+    the join compare is a normal shuffle join that finishes in minutes.
+    Expected keys come from a Python set (unique by construction), so
+    inner-join-count == |got ∩ expected| exactly."""
+    import pandas as pd
+
+    spark = got_keys.sparkSession
+    got = got_keys.distinct().persist()
+    n = got.count()
+    exp_df = spark.createDataFrame(
+        pd.DataFrame({"key": [_key(k) for k in expected]}))
+    tp = got.join(exp_df, "key", "inner").count()
+    got.unpersist()
     return (tp / n if n else 1.0, tp / len(expected) if expected else 1.0, n)
+
+
+def _plain_keys(df, cols: list[str]):
+    return df.select(
+        F.concat_ws(SEP, *[F.col(c).cast("string") for c in cols])
+        .alias("key"))
+
+
+def _nt_keys(df, spec: list[tuple[str, str]]):
+    """key column from a mix of ('text', col) parts (already strings)
+    and ('nt', col) parts (term structs serialized with the SAME
+    term_to_nt_py the oracle uses — run in EXECUTORS via mapInPandas, so
+    serialization is parallel and bit-identical to the expected side)."""
+    sel = [F.col(c).alias(f"_c{i}") for i, (_, c) in enumerate(spec)]
+    kinds = [kind for kind, _ in spec]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            parts = []
+            for i, kind in enumerate(kinds):
+                col = pdf[f"_c{i}"]
+                if kind == "nt":
+                    col = col.map(terms.term_to_nt_py)
+                parts.append(col.astype(str))
+            out = parts[0]
+            for p_ in parts[1:]:
+                out = out.str.cat(p_, sep=SEP)
+            yield pd.DataFrame({"key": out})
+
+    return df.select(*sel).mapInPandas(gen, "key string")
 
 
 def collect_family_rows(res, oracle) -> list[tuple]:
     """[(family, precision, recall, got_rows)] for the 12 output
     families — shared by the report and scripts/mutation_check.py."""
     rows = []
-    rows.append(("uri_mapping", *pr_stream(
-        res.catalog.read("uri_mapping"), set(oracle.uri.items()),
-        lambda r: (r["qid"], r["yago"]))))
-    rows.append(("yago_classes", *pr_stream(
-        res.catalog.read("yago_classes"),
-        {(c,) for c in oracle.yago_classes}, lambda r: (r["cls"],))))
-    rows.append(("class_mapping", *pr_stream(
-        res.catalog.read("class_mapping"), oracle.class_mapping,
-        lambda r: (r["qid"], r["cls"]))))
-    rows.append(("sub_class_of", *pr_stream(
-        res.catalog.read("sub_class_of"), oracle.sub_class_of,
-        lambda r: (r["child"], r["parent"]))))
+    rows.append(("uri_mapping", *pr_spark(
+        _plain_keys(res.catalog.read("uri_mapping"), ["qid", "yago"]),
+        set(oracle.uri.items()))))
+    rows.append(("yago_classes", *pr_spark(
+        _plain_keys(res.catalog.read("yago_classes"), ["cls"]),
+        set(oracle.yago_classes))))
+    rows.append(("class_mapping", *pr_spark(
+        _plain_keys(res.catalog.read("class_mapping"), ["qid", "cls"]),
+        oracle.class_mapping)))
+    rows.append(("sub_class_of", *pr_spark(
+        _plain_keys(res.catalog.read("sub_class_of"), ["child", "parent"]),
+        oracle.sub_class_of)))
     exp_inst = {(s, i) for s, insts in oracle.instances.items()
                 for i in insts}
-    rows.append(("shape_instances", *pr_stream(
-        res.catalog.read("shape_instances"), exp_inst,
-        lambda r: (r["shape"], r["instance"]))))
+    rows.append(("shape_instances", *pr_spark(
+        _plain_keys(res.catalog.read("shape_instances"),
+                    ["shape", "instance"]), exp_inst)))
 
     preds = {p_ for (_, p_, _) in oracle.facts}
+    facts = res.outputs["facts"].where(
+        F.col("predicate.text").isin(list(preds)))
+    rows.append(("facts (all 9 branches + sides)", *pr_spark(
+        _nt_keys(facts, [("text", "subject.text"),
+                         ("text", "predicate.text"), ("nt", "object")]),
+        oracle.facts)))
 
-    def fact_key(r):
-        p_ = r["predicate"]["text"]
-        if p_ not in preds:
-            return None
-        return (r["subject"]["text"], p_,
-                terms.term_to_nt_py(r["object"].asDict()))
+    ann = res.outputs["annotated_facts"].where(
+        F.col("annotation_predicate").isNotNull())
+    rows.append(("annotated_facts (RDF★)", *pr_spark(
+        _nt_keys(ann, [("text", "subject.text"), ("text", "predicate.text"),
+                       ("nt", "object"),
+                       ("text", "annotation_predicate.text"),
+                       ("nt", "annotation_object")]),
+        oracle.annotated)))
 
-    rows.append(("facts (all 9 branches + sides)",
-                 *pr_stream(res.outputs["facts"], oracle.facts, fact_key)))
-
-    def ann_key(r):
-        if r["annotation_predicate"] is None:
-            return None
-        return (r["subject"]["text"], r["predicate"]["text"],
-                terms.term_to_nt_py(r["object"].asDict()),
-                r["annotation_predicate"]["text"],
-                terms.term_to_nt_py(r["annotation_object"].asDict()))
-
-    rows.append(("annotated_facts (RDF★)", *pr_stream(
-        res.outputs["annotated_facts"], oracle.annotated, ann_key)))
-
-    def spo_key(r):
-        return (r["subject"]["text"], r["predicate"]["text"],
-                terms.term_to_nt_py(r["object"].asDict()))
-
+    spo_spec = [("text", "subject.text"), ("text", "predicate.text"),
+                ("nt", "object")]
     for out_name, expected in (
         ("classes", oracle.classes_out),
         ("simple_types", oracle.simple_types),
@@ -107,8 +142,8 @@ def collect_family_rows(res, oracle) -> list[tuple]:
         ("labels", oracle.labels_out),
         ("same_as", oracle.same_as),
     ):
-        rows.append((out_name, *pr_stream(res.outputs[out_name], expected,
-                                          spo_key)))
+        rows.append((out_name, *pr_spark(
+            _nt_keys(res.outputs[out_name], spo_spec), expected)))
     return rows
 
 
@@ -147,11 +182,14 @@ def install_closure_trace() -> list:
 def main() -> None:
     use_real = "--real" in sys.argv
     deep = "--deep" in sys.argv
-    args = [a for a in sys.argv[1:] if a not in ("--real", "--deep")]
+    resume = "--resume" in sys.argv
+    args = [a for a in sys.argv[1:] if a not in ("--real", "--deep",
+                                                 "--resume")]
     n_ent = int(args[0]) if args else 100_000
     n_cls = int(args[1]) if len(args) > 1 else 800
     base = "/tmp/differential_100k"
-    shutil.rmtree(base, ignore_errors=True)
+    if not resume:
+        shutil.rmtree(base, ignore_errors=True)
     spark = get_spark(app_name="differential-100k")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -168,7 +206,8 @@ def main() -> None:
     gt = generate(n_entities=n_ent, n_classes=n_cls, schema=schema)
     oracle = compute_oracle(gt)
     t_gen = time.time() - t0
-    StatementsTable.write(statements_df(spark, gt), f"{base}/statements")
+    if not (resume and os.path.exists(f"{base}/statements")):
+        StatementsTable.write(statements_df(spark, gt), f"{base}/statements")
     # the raw statements are the single biggest ground-truth member
     # (~72M rows at 10M entities); once written they are only read back
     # through Spark — free them so the compare phase keeps only the
