@@ -137,7 +137,7 @@ def main() -> None:
     # surviving group is ~10 wide → C(10,2)-ish pair fan-out).
     sf1 = {}
     if os.environ.get("SPARK_GRAFT_SF1_PAIRS", "1") == "1":
-        ten_dir = "/tmp/bench_pairs_10x"
+        ten_dir = f"/tmp/bench_pairs_10x_sf{sf}"
         docs10_path = f"{ten_dir}/documents10.parquet"
         emb10_path = f"{ten_dir}/embeddings10.parquet"
         from pyspark.sql import functions as F
