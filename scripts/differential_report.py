@@ -56,8 +56,19 @@ def pr_spark(got_keys, expected: set) -> tuple[float, float, int]:
     got = got_keys.distinct().persist()
     n = got.count()
     exp_df = spark.createDataFrame(
-        pd.DataFrame({"key": [_key(k) for k in expected]}))
+        pd.DataFrame({"key": [_key(k) for k in expected]})).distinct()
     tp = got.join(exp_df, "key", "inner").count()
+    if tp != n or tp != len(expected):
+        # itemize the divergence while the frames are still alive: exact
+        # counts + a sample of keys from each side (repr → control
+        # chars visible)
+        print(f"[diverge] n_got={n} tp={tp} n_expected={len(expected)}",
+              flush=True)
+        for label, df in (("got-only", got.join(exp_df, "key", "left_anti")),
+                          ("expected-only",
+                           exp_df.join(got, "key", "left_anti"))):
+            for r in df.limit(5).collect():
+                print(f"[diverge] {label}: {r['key']!r}", flush=True)
     got.unpersist()
     return (tp / n if n else 1.0, tp / len(expected) if expected else 1.0, n)
 
@@ -71,27 +82,32 @@ def _plain_keys(df, cols: list[str]):
 def _nt_keys(df, spec: list[tuple[str, str]]):
     """key column from a mix of ('text', col) parts (already strings)
     and ('nt', col) parts (term structs serialized with the SAME
-    term_to_nt_py the oracle uses — run in EXECUTORS via mapInPandas, so
-    serialization is parallel and bit-identical to the expected side)."""
+    term_to_nt_py the oracle uses — run in EXECUTORS, so serialization
+    is parallel and bit-identical to the expected side).
+
+    mapInArrow + to_pylist, NOT mapInPandas: pandas conversion coerces
+    a nullable int64 struct field to float64, so an integer term's
+    ``num`` 288 serialized as "288.0" — 8 of 242k facts keys mismatched
+    at 1M before this (caught by the [diverge] diagnostics). Arrow's
+    to_pylist yields true Python ints/None."""
     sel = [F.col(c).alias(f"_c{i}") for i, (_, c) in enumerate(spec)]
     kinds = [kind for kind, _ in spec]
 
     def gen(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            parts = []
+        for batch in batches:
+            cols = []
             for i, kind in enumerate(kinds):
-                col = pdf[f"_c{i}"]
+                vals = batch.column(i).to_pylist()
                 if kind == "nt":
-                    col = col.map(terms.term_to_nt_py)
-                parts.append(col.astype(str))
-            out = parts[0]
-            for p_ in parts[1:]:
-                out = out.str.cat(p_, sep=SEP)
-            yield pd.DataFrame({"key": out})
+                    vals = [terms.term_to_nt_py(v) for v in vals]
+                cols.append(vals)
+            keys = [SEP.join(str(v) for v in row) for row in zip(*cols)]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(keys, pa.string())], ["key"])
 
-    return df.select(*sel).mapInPandas(gen, "key string")
+    return df.select(*sel).mapInArrow(gen, "key string")
 
 
 def collect_family_rows(res, oracle) -> list[tuple]:
