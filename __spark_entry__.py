@@ -299,6 +299,15 @@ def q_dedup_exact(spark, sf):
     )
 
 
+def q_dedup_exact_canonical(spark, sf):
+    """Skew-safe exact dedup: per-member (doc_id, canonical, dup_count)
+    via min/count aggregates + join back — no per-group collect_list
+    row (the single-row hub hazard of plain exact_duplicates)."""
+    from yago4_spark.operators.dedup import exact_dedup_canonical
+
+    return exact_dedup_canonical(_doubled_docs(spark, sf))
+
+
 def q_dedup_minhash_lsh(spark, sf):
     """MinHash+LSH candidate pairs (shingle→minhash→band→bucket join)."""
     from yago4_spark.operators.dedup import minhash_lsh_pairs
@@ -535,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_canonical": q_dedup_exact_canonical,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
@@ -750,6 +760,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fp, count(*) AS dup_count, min(doc_id) AS min_doc_id
             FROM fps GROUP BY fp HAVING count(*) > 1
+        """,
+        "dedup_exact_canonical": r"""
+            WITH corpus AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR) || '_c', text FROM documents
+            ), fps AS (
+                SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+                FROM corpus
+            ), groups AS (
+                SELECT fp, min(doc_id) AS canonical, count(*) AS dup_count
+                FROM fps GROUP BY fp HAVING count(*) > 1
+            )
+            SELECT fps.doc_id, g.canonical, g.dup_count
+            FROM fps JOIN groups g USING (fp)
         """,
         "dedup_minhash_lsh": _SHINGLES_SQL + r"""
         , seeded AS (

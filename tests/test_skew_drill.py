@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from yago4_spark.operators.dedup import (
     dup_clusters,
+    exact_dedup_canonical,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -149,6 +150,25 @@ def test_embedding_hub_cell_subsplits(spark):
     # ~8 × C(~190, 2) ≈ 150k, spread over as many tasks
     assert 0 < hub_pairs <= n < 400_000
     pairs.unpersist()
+
+
+def test_exact_canonical_no_group_arrays(spark, skew_docs):
+    """exact_dedup_canonical handles the hub group with aggregates only
+    — no collect_list of the whole group in the plan, and the 3,000-doc
+    group maps every member to one canonical."""
+    out = exact_dedup_canonical(skew_docs).persist()
+    boiler = out.where(F.col("doc_id").startswith("b"))
+    assert boiler.count() == N_BOILER
+    assert boiler.select("canonical").distinct().collect()[0][0] == "b0"
+    assert boiler.select("dup_count").distinct().collect()[0][0] == N_BOILER
+    # twins: 2-member groups, canonical = the original t{i}
+    twins = out.where(F.col("doc_id").endswith("d"))
+    assert twins.count() == N_PLANTED
+    assert twins.where(F.col("canonical") == F.expr(
+        "substring(doc_id, 1, length(doc_id) - 1)")).count() == N_PLANTED
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    out.unpersist()
 
 
 def test_pipeline_recovers_boilerplate(spark, skew_docs):

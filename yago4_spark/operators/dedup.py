@@ -34,6 +34,31 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def exact_dedup_canonical(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical, dup_count) for every member of a duplicate
+    group (>1 byte-identical normalized docs); canonical = MIN doc id
+    of the group. The drop-list shape a pipeline consumes directly:
+    keep ``doc_id == canonical``, drop the rest.
+
+    Skew-safe sibling of :func:`exact_duplicates`: that one returns
+    each group as ONE ``collect_list`` row — the single-row hub hazard
+    at 100 TB (a 10^8-doc boilerplate group becomes one executor's
+    array). Here groups only ever exist as (fp, min, count) aggregates
+    — fully map-side-combinable — plus one join back on fp, so the
+    biggest group costs its share of a shuffle, never one row's
+    memory."""
+    fps = docs.select(F.col(id_col).alias("doc_id"),
+                      fingerprint(F.col(text_col)).alias("fp"))
+    groups = (
+        fps.groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical"),
+             F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+    return fps.join(groups, "fp").select("doc_id", "canonical", "dup_count")
+
+
 def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3
              ) -> DataFrame:
     """(doc_id, shingle) word n-gram shingles, distinct, lowercased."""
