@@ -331,6 +331,7 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     sh = track(simhash(docs, id_col, text_col, bits))
     bands = sh.select(
         "doc_id",
+        "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(i).alias("band"),
@@ -338,22 +339,35 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
             )
             for i in range(n_bands)
         ])).alias("bv"),
-    ).select("doc_id", "bv.band", "bv.val")
+    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    # signatures RIDE THROUGH the buckets as (doc_id, simhash) structs,
+    # so the xor verify runs in place on each streamed pair — no join
+    # back to the signature table. The old shape (distinct candidates,
+    # then TWO shuffle joins to fetch h_a/h_b) moved the full candidate
+    # set through three exchanges; on a saturated corpus (16-bit demo
+    # width, sf0.1: 9.1M pairs) those joins were ~80% of the wall.
+    # Verify also moves BEFORE the cross-band distinct: hamming is
+    # row-local, so filtering first shrinks the distinct's input to the
+    # true pairs (identical here only when saturation keeps every
+    # candidate). sort_array on the struct orders by doc_id (unique),
+    # preserving id_a < id_b.
     grouped = (
         bands.groupBy("band", "val")
-        .agg(F.sort_array(F.collect_list(F.col("doc_id"))).alias("ids"))
+        .agg(F.sort_array(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("simhash")))
+        ).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
-    cand = _stream_pairs(grouped).select("id_a", "id_b").distinct()
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("hamming",
-                    F.expr("bit_count(h_a ^ h_b)").cast("int"))
+        _stream_pairs(grouped)
+        .select(
+            F.col("id_a.doc_id").alias("id_a"),
+            F.col("id_b.doc_id").alias("id_b"),
+            F.expr("bit_count(id_a.simhash ^ id_b.simhash)")
+            .cast("int").alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
