@@ -51,6 +51,7 @@ OPS_QUERIES = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "doc_simhash", "doc_simhash64",
     "dedup_simhash_pairs", "dedup_simhash_pairs64", "dedup_clusters",
+    "dedup_exact_canonical",
     "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_topk_batch",
     "media_features", "embedding_near_dup",
     "mention_candidates", "linked_mentions",
@@ -120,6 +121,38 @@ MUTATIONS = [
         old='.agg(F.min("label").alias("label"))',
         new='.agg(F.max("label").alias("label"))',
         expect="dedup_clusters (canonical = component max, oracle says min)",
+    ),
+    dict(
+        name="canonical_max_not_min",
+        file="yago4_spark/operators/dedup.py",
+        old='.agg(F.min("doc_id").alias("canonical"),',
+        new='.agg(F.max("doc_id").alias("canonical"),',
+        expect="dedup_exact_canonical (canonical = group MAX, oracle "
+               "says MIN)",
+    ),
+    dict(
+        name="simhash_cross_band_distinct_dropped",
+        file="yago4_spark/operators/dedup.py",
+        old='        .where(F.col("hamming") <= max_hamming)\n'
+            '        .distinct()',
+        new='        .where(F.col("hamming") <= max_hamming)',
+        expect="dedup_simhash_pairs (exact dups agree on ALL 4 bands -> "
+               "each such pair emitted 4x, rows mismatch)",
+    ),
+    dict(
+        name="lsh_bucket_cap_bypass",
+        file="yago4_spark/operators/dedup.py",
+        old='    ).where((F.size("ids") >= 2) & '
+            '(F.size("ids") <= max_bucket_size))\n'
+            '    return _stream_pairs(grouped)',
+        new='    ).where(F.size("ids") >= 2)\n'
+            '    return _stream_pairs(grouped)',
+        expect="test-killed: the 3k-doc boilerplate bucket streams "
+               "C(3000,2) pairs into the drill's zero-hub-pairs gate "
+               "(no sf0.01 bucket reaches the cap, so the oracle can't "
+               "see it)",
+        tests=["tests/test_skew_drill.py::"
+               "test_lsh_drops_hub_bucket_keeps_tail"],
     ),
     # ---- operators/similarity.py --------------------------------------
     dict(
