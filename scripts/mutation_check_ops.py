@@ -158,10 +158,8 @@ MUTATIONS = [
     dict(
         name="ivf_assign_farthest",
         file="yago4_spark/operators/similarity.py",
-        old='w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(),\n'
-            '                                             F.col("cell").asc())',
-        new='w = Window.partitionBy("vec_id").orderBy(F.col("csim").asc(),\n'
-            '                                             F.col("cell").asc())',
+        old="best = F.array_min(F.array(*cands))",
+        new="best = F.array_max(F.array(*cands))",
         expect="ann_ivf_topk / ann_ivf_topk_batch (vectors assigned to "
                "FARTHEST centroid → probed cells miss the neighbors)",
     ),

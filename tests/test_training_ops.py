@@ -495,12 +495,13 @@ def test_ivf_batch_single_assignment_plan(spark):
         return df._jdf.queryExecution().optimizedPlan().toString().count(
             "Relation [")
 
-    # 3 relations: the full-corpus assignment scan + two logical
-    # references to the config-sized centroid seed (persisted, so
-    # computed once at execution). The amortization claim is the
+    # 2 relations: the full-corpus assignment scan + one logical
+    # reference to the config-sized centroid seed (assignment inlines
+    # the collected centroids as literals, so it no longer references
+    # the seed relation at all). The amortization claim is the
     # batch-size INVARIANCE: 1 query or 8, same plan shape — the
     # per-query path pays a full assignment per call instead.
-    assert n_scans(1) == n_scans(8) == 3
+    assert n_scans(1) == n_scans(8) == 2
 
 
 def test_simhash_near_dup_pairs_exact_blocking(spark, docs):

@@ -37,6 +37,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _py_norm(v: list[float]) -> float:
+    """Driver-side twin of :func:`norm`: the SAME left-fold order over
+    IEEE doubles as F.aggregate, so a folded-constant centroid norm is
+    bit-identical to the Column computation (math.fsum or np.linalg
+    would not be)."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def cosine_topk(embeddings: DataFrame, query: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_to: int | None = 6) -> DataFrame:
@@ -58,25 +71,59 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding"
                  ) -> DataFrame:
     """(vec_id, cell, embedding): nearest centroid by cosine — the IVF
-    assignment pass. Centroids are broadcast (config-sized)."""
-    c = F.broadcast(
-        centroids.select(F.col("cell"), F.col("cvec"))
-    )
-    joined = embeddings.crossJoin(c).select(
+    assignment pass.
+
+    Centroids are config-sized (n_cells × dim), so they are collected
+    and inlined as literals and the argmax is a NARROW per-row
+    array_min over (-csim, cell) structs — zero shuffle and no ×n_cells
+    crossJoin row explosion. The previous shape (crossJoin + Window
+    over vec_id) shuffled the FULL vector table once per call, and
+    k-means pays assignment once per Lloyd iteration. csim is rounded
+    to 6dp before the argmax so ties break on the LOWEST cell id
+    identically across engines (float sum order differs between Spark
+    and the oracle), exactly like the old orderBy(csim desc, cell
+    asc)."""
+    cents = sorted((int(r["cell"]), [float(x) for x in r["cvec"]])
+                   for r in centroids.collect())
+    return _assign_cells_literal(embeddings, cents, id_col, vec_col)
+
+
+def _assign_cells_literal(embeddings: DataFrame,
+                          cents: list[tuple[int, list[float]]],
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """assign_cells over driver-side centroids — k-means calls this
+    directly per Lloyd iteration (its centroids already live on the
+    driver; a DataFrame round-trip would cost a collect job per
+    iteration)."""
+    v = F.col(vec_col).cast("array<double>")
+    # norm(v) is hoisted into its own projection so it is evaluated ONCE
+    # per row, not once per candidate (CollapseProject keeps non-cheap
+    # multiply-referenced aliases separate); each centroid's norm is a
+    # plain Python constant (same left-fold order over IEEE doubles as
+    # F.aggregate, so the quotient is bit-identical to cosine()); F.lit
+    # of the list is ONE array Literal, not a per-row CreateArray. Net:
+    # 9 interpreted array-aggregates per row instead of 24.
+    staged = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
-        "cell",
-        # rounded so argmax ties break on cell id identically across
-        # engines (float sum order differs between Spark and the oracle)
-        F.round(cosine(F.col(vec_col).cast("array<double>"),
-                       F.col("cvec").cast("array<double>")), 6).alias("csim"),
+        norm(v).alias("_nv"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(),
-                                             F.col("cell").asc())
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "cell", "embedding")
+    cands = [
+        F.struct(
+            (-F.round(
+                dot(F.col("embedding").cast("array<double>"), F.lit(cv))
+                / (F.col("_nv") * F.lit(_py_norm(cv))), 6))
+            .alias("_neg"),
+            F.lit(cell).alias("cell"),
+        )
+        for cell, cv in cents
+    ]
+    best = F.array_min(F.array(*cands))
+    return staged.select(
+        "vec_id",
+        best["cell"].alias("cell"),
+        "embedding",
     )
 
 
@@ -168,9 +215,10 @@ def kmeans_centroids(embeddings: DataFrame, n_cells: int = 8,
     prev = {i: v for i, v in enumerate(_farthest_point_seed(sample, n_cells))}
     spark = embeddings.sparkSession
     for _ in range(n_iter):
-        cents_df = spark.createDataFrame(
-            sorted(prev.items()), "cell int, cvec array<double>")
-        assigned = assign_cells(embeddings, cents_df, id_col, vec_col)
+        assigned = _assign_cells_literal(
+            embeddings,
+            sorted((c, [float(x) for x in cv]) for c, cv in prev.items()),
+            id_col, vec_col)
         dims = assigned.select(
             "cell",
             F.posexplode(F.col("embedding").cast("array<double>"))
