@@ -356,7 +356,18 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     cents = (centroids if centroids is not None
              else kmeans_centroids(embeddings, n_cells, id_col=id_col,
                                    vec_col=vec_col))
-    assigned = track(assign_cells(embeddings, cents, id_col, vec_col))
+    # assignment is now a NARROW projection, so it inherits the input's
+    # partitioning (often 1 file-partition at bench scale). The pair
+    # join below broadcasts the small side when it can, and a broadcast
+    # hash join spreads each block's C(n,2) verify work across the
+    # PROBE side's partitions — so re-spread by id hash or one task
+    # verifies every pair (observed 12× wall). At cluster scale the
+    # join is a shuffle join on (cell, block) and AQE subsumes this
+    # exchange into that shuffle.
+    assigned = track(
+        assign_cells(embeddings, cents, id_col, vec_col)
+        .repartition(F.col("vec_id"))
+    )
     counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
     n_blocks = F.greatest(
         F.lit(1).cast("long"),
