@@ -531,6 +531,54 @@ def test_simhash_near_dup_pairs_exact_blocking(spark, docs):
     assert ("a", "b", 0) in got  # identical docs
 
 
+def test_simhash_pairs_lowest_band_dedup_with_dropped_buckets(spark):
+    """The r06 cross-band dedup (emit at the lowest KEPT matching band,
+    no distinct) must equal the old kept-bucket ∪ verify ∪ distinct
+    semantics EXACTLY, including when a pair's lowest matching band
+    bucket is over max_bucket_size (dropped): the pair must still be
+    emitted from a higher kept band, and never twice."""
+    import itertools
+
+    from yago4_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    rows = [("b%03d" % i,
+             "common header words " + " ".join(f"w{j}" for j in range(20))
+             + f" tail{i % 5}") for i in range(120)]
+    rows += [("r%03d" % i,
+              " ".join(f"w{(i * 7 + j * 3) % 50}" for j in range(15)))
+             for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    for bits, cap in [(16, 20), (16, 6), (64, 50)]:
+        w = bits // 4
+        mask = (1 << w) - 1
+        hashes = {r["doc_id"]: r["simhash"]
+                  for r in simhash(docs, bits=bits).collect()}
+        buckets: dict[tuple, list] = {}
+        for d, h in hashes.items():
+            for b in range(4):
+                buckets.setdefault((b, (h >> (b * w)) & mask), []).append(d)
+        expect = set()
+        n_dropped = 0
+        for ids in buckets.values():
+            if len(ids) > cap:
+                n_dropped += 1
+                continue
+            if len(ids) >= 2:
+                for a, c in itertools.combinations(sorted(ids), 2):
+                    hd = bin((hashes[a] ^ hashes[c]) & ((1 << 64) - 1)
+                             ).count("1")
+                    if hd <= 3:
+                        expect.add((a, c, hd))
+        assert bits == 64 or n_dropped > 0  # the scenario is non-vacuous
+        got_rows = simhash_near_dup_pairs(
+            docs, bits=bits, n_bands=4, max_hamming=3,
+            max_bucket_size=cap).collect()
+        got = {(r["id_a"], r["id_b"], r["hamming"]) for r in got_rows}
+        assert got == expect, (bits, cap)
+        assert len(got_rows) == len(got)  # unique by construction
+
+
 def test_text_function_twins(spark):
     """fingerprint normalization + quality_score component weights
     pinned on adversarial strings the parquet corpus does NOT contain

@@ -12,10 +12,15 @@ Design rules for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
+
+# cap on the collected over-sized-bucket set for the row-local cross-band
+# dedup in simhash_near_dup_pairs; past this the operator falls back to
+# the distinct-based dedup instead of growing a driver-side literal
+_MAX_DROPPED_BUCKETS = 8192
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -256,40 +261,57 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     production width); bit 63 lands in the long's sign bit, so 64-bit
     hashes can be negative — Hamming via xor + bit_count is unaffected."""
     assert 1 <= bits <= 64, "simhash width is 1..64 (one long)"
+    # bit b of md5 (b < 32): low bit of hex nibble b; bits 32..63 reuse
+    # the nibbles' SECOND bit (digit value & 2) — two independent bit
+    # lanes from the same 32 hex chars (round-4 trap: reading hex digit
+    # b directly silently zeroed bits >= 32). The per-token bit vector
+    # is packed into ONE long with two conv() calls + integer
+    # shift/mask, replacing the previous per-bit substring+isin CASEs
+    # (64 string slices and up to 512 char compares per token row — the
+    # measured 90% of doc_simhash64's wall; guide §2.3 "narrower types"
+    # applied to the aggregation input). conv(·,16,-10) reads 16 hex
+    # chars as one signed long; arithmetic shift + &15 extracts each
+    # nibble regardless of sign.
+    def _nib(i: int) -> str:
+        src, pos = ("_x", i) if i < 16 else ("_y", i - 16)
+        return f"(shiftright({src}, {(15 - pos) * 4}) & 15)"
+
+    def _bit(b: int) -> str:
+        if b < 32:                       # lane 0: nibble b & 1
+            return f"({_nib(b)} & 1)"
+        return f"((shiftright({_nib(b - 32)}, 1)) & 1)"  # lane 1: & 2
+
+    bv = " | ".join(f"(shiftleft({_bit(b)}, {b}))" for b in range(bits))
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         .alias("tok"),
-    ).select("doc_id", F.md5(F.col("tok")).alias("h"))
-    # bit b of md5 (b < 32): low bit of hex nibble b; bits 32..63 reuse
-    # the nibbles' SECOND bit (digit value & 2) — two independent bit
-    # lanes from the same 32 hex chars, both tested via digit membership,
-    # which is portable SQL (no conv/bit ops needed for the DuckDB
-    # oracle twin). Round-4 trap fixed: the old code read hex digit b
-    # directly, so b >= 32 hit an empty substring and always weighed -1
-    # (silently degenerate 64-bit hashes). ONE groupBy with ``bits`` SUM
-    # aggregates: summing ±1 per token occurrence equals the classic
+    ).select("doc_id", F.md5(F.col("tok")).alias("h")).select(
+        "doc_id",
+        F.expr("cast(conv(substring(h, 1, 16), 16, -10) as bigint)")
+        .alias("_x"),
+        F.expr("cast(conv(substring(h, 17, 16), 16, -10) as bigint)")
+        .alias("_y"),
+    ).select("doc_id", F.expr(bv).alias("_bv"))
+    # ONE groupBy: summing ±1 per token occurrence equals the classic
     # ±count(tok) per distinct token, so no (doc, tok) pre-aggregation
     # is needed, and map-side partial agg ships one bits-wide row per
-    # (doc, partition) instead of bits × tokens rows — one shuffle total.
-    lane0 = ("1", "3", "5", "7", "9", "b", "d", "f")   # nibble & 1
-    lane1 = ("2", "3", "6", "7", "a", "b", "e", "f")   # nibble & 2
+    # (doc, partition) instead of bits × tokens rows — one shuffle
+    # total. s_b = Σ±1 = 2·Σbit_b − n, so the per-bit aggregates are
+    # plain integer SUMs of (bv >> b) & 1 plus one shared COUNT; the
+    # sign test s_b > 0 becomes 2·sum_b > n (identical integers).
     sums = [
-        F.sum(
-            F.when(
-                F.substring("h", (b % 32) + 1, 1)
-                .isin(*(lane0 if b < 32 else lane1)),
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"_s{b}")
+        F.sum(F.shiftright(F.col("_bv"), b).bitwiseAND(F.lit(1)))
+        .alias(f"_s{b}")
         for b in range(bits)
     ]
-    fused = toks.groupBy("doc_id").agg(*sums)
+    fused = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"), *sums)
     sim = F.lit(0).cast("long")
     for b in range(bits):
         # bitwiseOR of disjoint bits == sum, but stays overflow-free for
         # bit 63 (shiftleft(1L, 63) is long-min — ANSI-safe, no add)
-        term = F.when(F.col(f"_s{b}") > 0, F.expr(f"shiftleft(1L, {b})")) \
+        term = F.when(2 * F.col(f"_s{b}") > F.col("_n"),
+                      F.expr(f"shiftleft(1L, {b})")) \
             .otherwise(F.lit(0).cast("long"))
         sim = sim.bitwiseOR(term)
     return fused.select("doc_id", sim.alias("simhash"))
@@ -346,11 +368,8 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     # then TWO shuffle joins to fetch h_a/h_b) moved the full candidate
     # set through three exchanges; on a saturated corpus (16-bit demo
     # width, sf0.1: 9.1M pairs) those joins were ~80% of the wall.
-    # Verify also moves BEFORE the cross-band distinct: hamming is
-    # row-local, so filtering first shrinks the distinct's input to the
-    # true pairs (identical here only when saturation keeps every
-    # candidate). sort_array on the struct orders by doc_id (unique),
-    # preserving id_a < id_b.
+    # sort_array on the struct orders by doc_id (unique), preserving
+    # id_a < id_b.
     grouped = (
         bands.groupBy("band", "val")
         .agg(F.sort_array(
@@ -358,16 +377,70 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
         ).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
-    return (
-        _stream_pairs(grouped)
+    pairs = (
+        _stream_pairs(grouped, keep=["band"])
         .select(
+            "band",
             F.col("id_a.doc_id").alias("id_a"),
             F.col("id_b.doc_id").alias("id_b"),
-            F.expr("bit_count(id_a.simhash ^ id_b.simhash)")
-            .cast("int").alias("hamming"),
+            F.col("id_a.simhash").alias("h_a"),
+            F.col("id_b.simhash").alias("h_b"),
         )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+    )
+    # Cross-band dedup WITHOUT the distinct exchange (guide §2.4): a pair
+    # is emitted only from its LOWEST kept matching band, a row-local
+    # test (both signatures are in the row), so every surviving pair is
+    # unique by construction and the old post-verify `.distinct()` —
+    # measured 10.4s of dedup_simhash_pairs' 14.6s at sf0.1 (the full
+    # saturated candidate set through one more exchange + hash dedup) —
+    # disappears. A lower band i matches iff the band-i slices agree;
+    # that bucket then holds both docs (size >= 2), so it was KEPT
+    # unless it exceeded max_bucket_size. The over-cap buckets are few
+    # by construction (<= rows/cap); they are collected (bounded) and
+    # inlined as per-band InSet literals. If a corpus produces more
+    # dropped buckets than the bound, fall back to the old
+    # distinct-based dedup — identical output either way.
+    dropped = (
+        bands.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_bucket_size)
+        .select("band", "val")
+        .limit(_MAX_DROPPED_BUCKETS + 1)
+        .collect()
+    )
+    verified = F.expr("bit_count(h_a ^ h_b)").cast("int") <= F.lit(max_hamming)
+    if len(dropped) > _MAX_DROPPED_BUCKETS:
+        return (
+            pairs.where(verified)
+            .select(
+                "id_a", "id_b",
+                F.expr("bit_count(h_a ^ h_b)").cast("int").alias("hamming"))
+            .distinct()
+        )
+    dropped_by_band: dict[int, set[int]] = {}
+    for r in dropped:
+        dropped_by_band.setdefault(r["band"], set()).add(r["val"])
+
+    def _blocked(i: int) -> Column:
+        """Band i < row's band already emitted this pair?"""
+        val_a = F.expr(f"shiftright(h_a, {i * w}) & {mask}")
+        val_b = F.expr(f"shiftright(h_b, {i * w}) & {mask}")
+        m = val_a == val_b
+        drop_set = dropped_by_band.get(i)
+        if drop_set:
+            m = m & ~val_a.isin(*[int(v) for v in drop_set])
+        return m
+
+    emit = F.lit(True)
+    for b in range(1, n_bands):
+        cond = F.lit(True)
+        for i in range(b):
+            cond = cond & ~_blocked(i)
+        emit = F.when(F.col("band") == b, cond).otherwise(emit)
+    return (
+        pairs.where(emit & verified)
+        .select("id_a", "id_b",
+                F.expr("bit_count(h_a ^ h_b)").cast("int").alias("hamming"))
     )
 
 
