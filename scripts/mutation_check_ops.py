@@ -102,18 +102,21 @@ MUTATIONS = [
     dict(
         name="simhash_hamming_off_by_one",
         file="yago4_spark/operators/dedup.py",
-        old='.where(F.col("hamming") <= max_hamming)',
-        new='.where(F.col("hamming") < max_hamming)',
+        old='verified = F.expr("bit_count(h_a ^ h_b)").cast("int") '
+            '<= F.lit(max_hamming)',
+        new='verified = F.expr("bit_count(h_a ^ h_b)").cast("int") '
+            '< F.lit(max_hamming)',
         expect="dedup_simhash_pairs (hamming==3 pairs dropped)",
     ),
     dict(
         name="simhash_lane1_missing_f",
         file="yago4_spark/operators/dedup.py",
-        old='lane1 = ("2", "3", "6", "7", "a", "b", "e", "f")',
-        new='lane1 = ("2", "3", "6", "7", "a", "b", "e")',
+        old='return f"((shiftright({_nib(b - 32)}, 1)) & 1)"',
+        new='return f"((shiftright({_nib(b - 32)}, 2)) & 1)"',
         expect="doc_simhash64 / dedup_simhash_pairs64 ONLY (high-bit "
-               "lane corrupted; 16-bit queries must stay green — the "
-               "exact regression the 64-bit oracle exists to catch)",
+               "lane reads the nibble's 4s bit instead of its 2s bit; "
+               "16-bit queries must stay green — the exact regression "
+               "the 64-bit oracle exists to catch)",
     ),
     dict(
         name="clusters_max_label",
@@ -133,11 +136,11 @@ MUTATIONS = [
     dict(
         name="simhash_cross_band_distinct_dropped",
         file="yago4_spark/operators/dedup.py",
-        old='        .where(F.col("hamming") <= max_hamming)\n'
-            '        .distinct()',
-        new='        .where(F.col("hamming") <= max_hamming)',
-        expect="dedup_simhash_pairs (exact dups agree on ALL 4 bands -> "
-               "each such pair emitted 4x, rows mismatch)",
+        old="        pairs.where(emit & verified)",
+        new="        pairs.where(verified)",
+        expect="dedup_simhash_pairs (lowest-kept-band emission disabled: "
+               "exact dups agree on ALL 4 bands -> each such pair "
+               "emitted 4x, rows mismatch)",
     ),
     dict(
         name="lsh_bucket_cap_bypass",
@@ -158,8 +161,8 @@ MUTATIONS = [
     dict(
         name="ivf_assign_farthest",
         file="yago4_spark/operators/similarity.py",
-        old="best = F.array_min(F.array(*cands))",
-        new="best = F.array_max(F.array(*cands))",
+        old="best = cl[np.argmax(ri, axis=1)]",
+        new="best = cl[np.argmin(ri, axis=1)]",
         expect="ann_ivf_topk / ann_ivf_topk_batch (vectors assigned to "
                "FARTHEST centroid → probed cells miss the neighbors)",
     ),

@@ -88,6 +88,34 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame,
     return _assign_cells_literal(embeddings, cents, id_col, vec_col)
 
 
+def _round6_half_up(x):
+    """Vectorized twin of Spark's round(double, 6): Spark rounds the
+    SHORTEST decimal representation (BigDecimal.valueOf) HALF_UP. The
+    fast path scales by 1e6 and floors; rows whose scaled fraction
+    lands near the .5 boundary (where binary noise could disagree with
+    the decimal string) are redone exactly with Decimal(repr(x)) —
+    repr() is the same shortest representation. Returns the scaled
+    integers (×1e6), which is all the argmax needs."""
+    import decimal
+
+    import numpy as np
+
+    ax = np.abs(x)
+    scaled = ax * 1e6
+    ri = np.floor(scaled + 0.5)
+    frac = scaled - np.floor(scaled)
+    sus = np.abs(frac - 0.5) < 1e-9
+    if sus.any():
+        it = np.nditer(sus, flags=["multi_index"])
+        for flag in it:
+            if not flag or not np.isfinite(x[it.multi_index]):
+                continue
+            d = decimal.Decimal(repr(float(ax[it.multi_index]))).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP)
+            ri[it.multi_index] = float(d * 1_000_000)
+    return np.sign(x) * ri
+
+
 def _assign_cells_literal(embeddings: DataFrame,
                           cents: list[tuple[int, list[float]]],
                           id_col: str = "vec_id",
@@ -95,36 +123,56 @@ def _assign_cells_literal(embeddings: DataFrame,
     """assign_cells over driver-side centroids — k-means calls this
     directly per Lloyd iteration (its centroids already live on the
     driver; a DataFrame round-trip would cost a collect job per
-    iteration)."""
-    v = F.col(vec_col).cast("array<double>")
-    # norm(v) is hoisted into its own projection so it is evaluated ONCE
-    # per row, not once per candidate (CollapseProject keeps non-cheap
-    # multiply-referenced aliases separate); each centroid's norm is a
-    # plain Python constant (same left-fold order over IEEE doubles as
-    # F.aggregate, so the quotient is bit-identical to cosine()); F.lit
-    # of the list is ONE array Literal, not a per-row CreateArray. Net:
-    # 9 interpreted array-aggregates per row instead of 24.
-    staged = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        norm(v).alias("_nv"),
-    )
-    cands = [
-        F.struct(
-            (-F.round(
-                dot(F.col("embedding").cast("array<double>"), F.lit(cv))
-                / (F.col("_nv") * F.lit(_py_norm(cv))), 6))
-            .alias("_neg"),
-            F.lit(cell).alias("cell"),
-        )
-        for cell, cv in cents
-    ]
-    best = F.array_min(F.array(*cands))
-    return staged.select(
-        "vec_id",
-        best["cell"].alias("cell"),
-        "embedding",
-    )
+    iteration).
+
+    The argmax runs as a mapInArrow numpy kernel (guide §4.2): one
+    matmul per Arrow batch instead of the previous n_cells×dim literal
+    argmin expression, whose tree size forced interpreted per-row
+    evaluation (the round-5 perf-weak finding: 0.96s -> 1.6-2.6s on
+    ann_ivf_topk). Semantics preserved exactly: cosine rounded to 6dp
+    (Spark HALF_UP twin, see :func:`_round6_half_up`), ties -> lowest
+    cell id (cents sorted ascending; np.argmax returns the first
+    maximum), zero-norm rows -> NaN sims -> lowest cell (all -inf after
+    masking), zero-norm centroids never win (their column is -inf
+    unless every column is)."""
+    assert cents, "assign_cells needs at least one centroid"
+    cents = sorted(cents)
+    cells = [int(c) for c, _ in cents]
+    cmat = [[float(x) for x in cv] for _, cv in cents]
+    cnorms = [_py_norm(cv) for cv in cmat]
+    out_schema = ", ".join([
+        f"vec_id {embeddings.schema[id_col].dataType.simpleString()}",
+        "cell int",
+        f"embedding {embeddings.schema[vec_col].dataType.simpleString()}",
+    ])
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cm = np.asarray(cmat, dtype=np.float64)
+        cn = np.asarray(cnorms, dtype=np.float64)
+        cl = np.asarray(cells, dtype=np.int32)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column(1)
+            flat = np.asarray(emb.flatten(), dtype=np.float64)
+            mat = flat.reshape(n, -1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ cm.T) / (
+                    np.sqrt((mat * mat).sum(axis=1))[:, None] * cn[None, :])
+                ri = _round6_half_up(sims)
+            ri[~np.isfinite(ri)] = -np.inf
+            best = cl[np.argmax(ri, axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(best, type=pa.int32()), emb],
+                names=["vec_id", "cell", "embedding"])
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).mapInArrow(kernel, out_schema)
 
 
 def deterministic_centroids(embeddings: DataFrame, n_cells: int = 8,
