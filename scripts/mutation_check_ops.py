@@ -121,8 +121,8 @@ MUTATIONS = [
     dict(
         name="clusters_max_label",
         file="yago4_spark/operators/dedup.py",
-        old='.agg(F.min("label").alias("label"))',
-        new='.agg(F.max("label").alias("label"))',
+        old='.agg(F.min("label").alias("label"),',
+        new='.agg(F.max("label").alias("label"),',
         expect="dedup_clusters (canonical = component max, oracle says min)",
     ),
     dict(

@@ -302,22 +302,38 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     ).select("doc_id", F.expr(bv).alias("_bv"))
     # ONE groupBy: summing ±1 per token occurrence equals the classic
     # ±count(tok) per distinct token, so no (doc, tok) pre-aggregation
-    # is needed, and map-side partial agg ships one bits-wide row per
+    # is needed, and map-side partial agg ships one row per
     # (doc, partition) instead of bits × tokens rows — one shuffle
     # total. s_b = Σ±1 = 2·Σbit_b − n, so the per-bit aggregates are
     # plain integer SUMs of (bv >> b) & 1 plus one shared COUNT; the
     # sign test s_b > 0 becomes 2·sum_b > n (identical integers).
-    sums = [
-        F.sum(F.shiftright(F.col("_bv"), b).bitwiseAND(F.lit(1)))
-        .alias(f"_s{b}")
-        for b in range(bits)
-    ]
+    # TWO bit-count lanes ride each SUM: bits b and b+half share one
+    # long (low lane in bits 0..31, high lane shifted to 32..63), so a
+    # 64-bit simhash needs 32 aggregate buffers instead of 64 — halving
+    # the per-row aggregate update work and the partial-agg row width
+    # (guide §2.3 "narrower types"). Carry-free because each lane's sum
+    # is bounded by the doc's token count < 2^31 (a document is one
+    # Spark string, capped at 2 GiB).
+    half = (bits + 1) // 2
+    sums = []
+    for b in range(half):
+        hi = b + half
+        if hi < bits:
+            e = (f"((shiftright(_bv, {b}) & 1) | "
+                 f"shiftleft(shiftright(_bv, {hi}) & 1, 32))")
+        else:
+            e = f"(shiftright(_bv, {b}) & 1)"
+        sums.append(F.sum(F.expr(e)).alias(f"_p{b}"))
     fused = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"), *sums)
     sim = F.lit(0).cast("long")
     for b in range(bits):
+        # unpack: low lane = masked low 32 bits, high lane = upper 32
+        # (sums are non-negative, so the arithmetic shift is exact)
+        s_b = (F.expr(f"_p{b} & 4294967295") if b < half
+               else F.expr(f"shiftright(_p{b - half}, 32)"))
         # bitwiseOR of disjoint bits == sum, but stays overflow-free for
         # bit 63 (shiftleft(1L, 63) is long-min — ANSI-safe, no add)
-        term = F.when(2 * F.col(f"_s{b}") > F.col("_n"),
+        term = F.when(2 * s_b > F.col("_n"),
                       F.expr(f"shiftleft(1L, {b})")) \
             .otherwise(F.lit(0).cast("long"))
         sim = sim.bitwiseOR(term)
@@ -376,14 +392,21 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     # set through three exchanges; on a saturated corpus (16-bit demo
     # width, sf0.1: 9.1M pairs) those joins were ~80% of the wall.
     # sort_array on the struct orders by doc_id (unique), preserving
-    # id_a < id_b.
-    grouped = (
+    # id_a < id_b. The bucket COUNT rides the same aggregate, so the
+    # dropped-bucket scan below reads this (persisted) table instead of
+    # re-aggregating the banded rows a second time — one shuffle pass
+    # over the bands instead of two (min-of-6: 16-bit 3.31s -> 2.13s,
+    # 64-bit 2.66s -> 2.23s at sf0.1). The over-cap collect_list row is
+    # no new hazard: the size filter always ran post-aggregation.
+    grouped_all = track(
         bands.groupBy("band", "val")
-        .agg(F.sort_array(
-            F.collect_list(F.struct(F.col("doc_id"), F.col("simhash")))
-        ).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.sort_array(
+                 F.collect_list(F.struct(F.col("doc_id"), F.col("simhash")))
+             ).alias("ids"))
     )
+    grouped = grouped_all.where(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
     pairs = (
         _stream_pairs(grouped, keep=["band"])
         .select(
@@ -408,9 +431,7 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     # dropped buckets than the bound, fall back to the old
     # distinct-based dedup — identical output either way.
     dropped = (
-        bands.groupBy("band", "val")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > max_bucket_size)
+        grouped_all.where(F.col("_n") > max_bucket_size)
         .select("band", "val")
         .limit(_MAX_DROPPED_BUCKETS + 1)
         .collect()

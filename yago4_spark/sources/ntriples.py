@@ -259,7 +259,12 @@ def read_ntriples(spark: SparkSession, path: str, seed: str = "",
     lines = spark.read.text(path)
     n_parts = (spark.sparkContext.defaultParallelism
                if repartition is None else repartition)
-    if n_parts:
+    # only shuffle when the scan is actually under-split (gzip: one
+    # partition per file); a splittable text file already fans out to
+    # ~defaultParallelism scan partitions via maxSplitBytes, so the
+    # blanket repartition was a pure extra shuffle of the raw lines
+    # (250 MB at the 2M-line bench corpus — guide §2.4)
+    if n_parts and lines.rdd.getNumPartitions() < n_parts:
         lines = lines.repartition(n_parts)
 
     def parse(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
