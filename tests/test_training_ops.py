@@ -703,3 +703,23 @@ def test_dup_clusters(spark):
         ("x", "x"), ("y", "x"), ("z", "x"),
         ("m", "m"), ("n", "m"),
     }
+
+
+def test_dup_clusters_path_graph_log_rounds(spark):
+    """Pointer jumping makes convergence O(log n) on chain-shaped
+    components: a 10k-node path graph must reach its fixpoint within 20
+    rounds (measured 16; plain min-propagation would need ~10k — the
+    boilerplate-drift chain scenario from VERDICT r05)."""
+    from yago4_spark.operators.dedup import dup_clusters
+
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n - 1)],
+        "id_a string, id_b string",
+    )
+    # max_iterations is a hard cap: exceeding it raises, so a pass IS
+    # the round-count assertion
+    got = dup_clusters(pairs, max_iterations=20)
+    rows = got.collect()
+    assert len(rows) == n
+    assert {r["canonical"] for r in rows} == {"n00000"}
