@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow shuffled-hash join where its size conditions hold
+        # (guide §3.1/§9): sort-merge only wins when both sides must
+        # spill-sort. No declared query's plan changes at bench scale
+        # (verified: every join there is broadcast), but joins whose
+        # small side outgrows the broadcast threshold at production SF
+        # skip the per-partition sort. AQE skew-join handles both forms.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
