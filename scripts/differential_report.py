@@ -75,7 +75,12 @@ def pr_spark(got_keys, expected: set) -> tuple[float, float, int]:
 
 def _plain_keys(df, cols: list[str]):
     return df.select(
-        F.concat_ws(SEP, *[F.col(c).cast("string") for c in cols])
+        F.concat_ws(SEP, *[
+            # concat_ws silently SKIPS nulls, which would alias rows
+            # like ('x', NULL, 'y') and ('x', 'y', NULL); render nulls
+            # as 'None' to match str(None) on the Python _key side.
+            F.coalesce(F.col(c).cast("string"), F.lit("None"))
+            for c in cols])
         .alias("key"))
 
 

@@ -136,6 +136,7 @@ def test_convert_time_julian_opt_in(spark):
         ("1666-01-01T00:00:00Z", 9, vocab.Q_PROLEPTIC_JULIAN),
         ("1666-03-01T00:00:00Z", 10, vocab.Q_PROLEPTIC_JULIAN),
         ("-0044-03-15T00:00:00Z", 11, vocab.Q_PROLEPTIC_JULIAN),
+        ("-12344-01-01T00:00:00Z", 11, vocab.Q_PROLEPTIC_JULIAN),
         ("0000-01-01T00:00:00Z", 11, vocab.Q_PROLEPTIC_JULIAN),
         ("1987-06-17T00:00:00Z", 11, vocab.Q_PROLEPTIC_GREGORIAN),
     ]
@@ -160,6 +161,9 @@ def test_convert_time_julian_opt_in(spark):
     assert got["1666-01-01T00:00:00Z"][0] == "1666"          # 9: passthrough
     assert got["1666-03-01T00:00:00Z"][0] == "1666-03"       # 10: passthrough
     assert got["-0044-03-15T00:00:00Z"] == ("-0044-03-13", vocab.XSD_DATE)
+    # deep-BCE: |year| > 9999 must not be lpad-truncated (ADVICE r5)
+    assert got["-12344-01-01T00:00:00Z"][0].startswith("-12")
+    assert len(got["-12344-01-01T00:00:00Z"][0]) == len("-12344-01-01")
     assert got["0000-01-01T00:00:00Z"] == ("-0001-12-30", vocab.XSD_DATE)
     assert got["1987-06-17T00:00:00Z"] == ("1987-06-17", vocab.XSD_DATE)
 

@@ -34,8 +34,13 @@ def test_stream_sessions_match_batch(spark, tmp_path, events):
     # watermark advances and event-time timeouts actually fire
     src = str(tmp_path / "sess_in")
     n = events.count()
-    ordered = events.orderBy("ts").withColumn(
-        "_b", (F.monotonically_increasing_id() * 4 / n).cast("int"))
+    # row_number (not monotonically_increasing_id, whose high bits encode
+    # the partition index) so buckets stay dense under any partitioning
+    from pyspark.sql import Window
+
+    ordered = events.withColumn(
+        "_b", ((F.row_number().over(Window.orderBy("ts")) - 1)
+               * 4 / n).cast("int"))
     for b in range(4):
         (ordered.where(F.col("_b") == b).drop("_b")
          .coalesce(1).write.mode("append").parquet(src))
@@ -104,8 +109,11 @@ def test_stream_sessions_restart_exactly_once(spark, tmp_path):
     src = str(tmp_path / "restart_in")
     n = events.count()
     n_files = 10
-    ordered = events.orderBy("ts").withColumn(
-        "_b", (F.monotonically_increasing_id() * n_files / n).cast("int"))
+    from pyspark.sql import Window
+
+    ordered = events.withColumn(
+        "_b", ((F.row_number().over(Window.orderBy("ts")) - 1)
+               * n_files / n).cast("int"))
     for b in range(n_files // 2):
         (ordered.where(F.col("_b") == b).drop("_b")
          .coalesce(1).write.mode("append").parquet(src))

@@ -65,7 +65,11 @@ def _format_year(y: Column) -> Column:
     """Numeric year → chrono-style lexical: 4-digit zero-pad, '-' kept,
     '+' prefix for years >= 10000 (the convention convert_time emits —
     see the rustc differential note below)."""
-    absy = F.lpad(F.abs(y).cast("string"), 4, "0")
+    # lpad TRUNCATES strings longer than len, so pad only when needed:
+    # a deep-BCE year like -12345 must stay '-12345', not '-1234'
+    # (mirrors _format_year_py, which never truncates).
+    absy = F.abs(y).cast("string")
+    absy = F.when(F.abs(y) > 9999, absy).otherwise(F.lpad(absy, 4, "0"))
     return (
         F.when(y < 0, F.concat(F.lit("-"), absy))
         .when(y > 9999, F.concat(F.lit("+"), y.cast("string")))

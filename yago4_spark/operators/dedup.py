@@ -12,6 +12,8 @@ Design rules for 100 TB:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -446,6 +448,14 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
         .limit(_MAX_DROPPED_BUCKETS + 1)
         .collect()
     )
+    if dropped:
+        # the cap's recall trade is otherwise invisible at runtime
+        # (ADVICE r5): surface how many buckets were dropped
+        logging.getLogger(__name__).warning(
+            "simhash_near_dup_pairs: %s bucket(s) over max_bucket_size=%d "
+            "dropped from pair generation",
+            f">{_MAX_DROPPED_BUCKETS}" if len(dropped) > _MAX_DROPPED_BUCKETS
+            else len(dropped), max_bucket_size)
     verified = F.expr("bit_count(h_a ^ h_b)").cast("int") <= F.lit(max_hamming)
     if len(dropped) > _MAX_DROPPED_BUCKETS:
         return (
